@@ -1,0 +1,178 @@
+"""Unconstrained L-BFGS solver.
+
+TPU-native re-design of the reference driver
+(/root/reference/include/LBFGS.h): the whole ``minimize`` loop
+(LBFGS.h:79-173) is one ``lax.while_loop`` over an explicit state pytree, so a
+solve is a single traced XLA computation — jittable, ``vmap``-pable over a
+batch of problems, and shardable over the feature axis (pass ``axis_name``
+under ``shard_map``).
+
+Algorithmic invariants preserved from the reference:
+
+* first direction ``d = -g`` with initial step ``1/||d||`` (LBFGS.h:106-108),
+  step reset to 1 after every iteration (LBFGS.h:168);
+* curvature-gated history update ``s'y > eps_machine * y'y`` (LBFGS.h:161);
+* convergence when ``||g|| <= max(epsilon, epsilon_rel * ||x||)``
+  (LBFGS.h:100, :137) plus the optional past/delta objective test over a
+  circular buffer (LBFGS.h:142-149); ``max_iterations == 0`` means unlimited.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .ops import history as hist_ops
+from .linesearch import get_line_search
+from .parallel import collectives as coll
+from .params import LBFGSParams
+from .types import (SolveResult, Status, make_fun_and_grad, tree_select)
+
+Array = jax.Array
+
+
+class _Carry(NamedTuple):
+    k: Array
+    x: Array
+    fx: Array
+    grad: Array
+    gnorm: Array
+    drt: Array
+    step: Array
+    hist: hist_ops.LBFGSHistory
+    fx_ring: Array
+    done: Array
+    status: Array
+    nfev: Array
+
+
+def minimize(fun: Optional[Callable] = None,
+             x0: Array = None,
+             params: LBFGSParams = LBFGSParams(),
+             *,
+             fun_and_grad=None,
+             line_search="nocedalwright",
+             axis_name: Optional[str] = None) -> SolveResult:
+    """Minimize ``fun`` from ``x0`` with L-BFGS.
+
+    Mirrors ``LBFGSSolver::minimize`` (LBFGS.h:79-173).  ``line_search``
+    defaults to Nocedal-Wright as in the reference (LBFGS.h:21).  Under
+    ``shard_map`` pass the mesh ``axis_name``; every global reduction then
+    becomes one collective.
+    """
+    fg = make_fun_and_grad(fun, fun_and_grad)
+    search = get_line_search(line_search)
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    n = x0.shape[0]
+    m = params.m
+    fpast = params.past
+    eps_machine = jnp.finfo(dtype).eps
+
+    fx0, grad0 = fg(x0)
+    gnorm0 = coll.pnorm(grad0, axis_name)
+    ring_len = max(fpast, 1)
+    fx_ring = jnp.zeros((ring_len,), dtype)
+    if fpast > 0:
+        fx_ring = fx_ring.at[0].set(fx0)
+
+    # Early exit if x0 is already a minimizer (LBFGS.h:100-103).
+    early = (gnorm0 <= params.epsilon) | \
+        (gnorm0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
+
+    drt0 = -grad0
+    step0 = 1.0 / coll.pnorm(drt0, axis_name)
+
+    init = _Carry(
+        k=jnp.ones((), jnp.int32),
+        x=x0, fx=fx0, grad=grad0, gnorm=gnorm0, drt=drt0, step=step0,
+        hist=hist_ops.init_history(n, m, dtype),
+        fx_ring=fx_ring,
+        done=early,
+        status=jnp.where(early, jnp.int32(Status.CONVERGED_GRAD),
+                         jnp.int32(Status.RUNNING)),
+        nfev=jnp.ones((), jnp.int32))
+
+    def cond(c: _Carry):
+        return ~c.done
+
+    def body(c: _Carry) -> _Carry:
+        xp, gradp = c.x, c.grad
+        dg = coll.pdot(c.grad, c.drt, axis_name)
+
+        ls = search(fg, params, xp, c.drt, params.max_step, c.step, c.fx,
+                    c.grad, dg, axis_name=axis_name)
+        nfev = c.nfev + ls.nfev
+        gnorm = coll.pnorm(ls.grad, axis_name)
+
+        ls_fail = ls.status != jnp.int32(Status.RUNNING)
+
+        # Convergence test: gradient (LBFGS.h:137-140)
+        conv_grad = (gnorm <= params.epsilon) | \
+            (gnorm <= params.epsilon_rel * coll.pnorm(ls.x, axis_name))
+
+        # Convergence test: objective decrease (LBFGS.h:142-149)
+        if fpast > 0:
+            fxd = c.fx_ring[c.k % fpast]
+            conv_past = (c.k >= fpast) & \
+                (jnp.abs(fxd - ls.fx) <= params.delta *
+                 jnp.maximum(jnp.maximum(jnp.abs(ls.fx), jnp.abs(fxd)), 1.0))
+            fx_ring = c.fx_ring.at[c.k % fpast].set(ls.fx)
+        else:
+            conv_past = jnp.zeros((), bool)
+            fx_ring = c.fx_ring
+
+        # Iteration cap (LBFGS.h:151-154)
+        max_iter = (params.max_iterations != 0) & \
+            (c.k >= params.max_iterations)
+
+        done = ls_fail | conv_grad | conv_past | max_iter
+        status = jnp.where(
+            ls_fail, ls.status,
+            jnp.where(conv_grad, jnp.int32(Status.CONVERGED_GRAD),
+                      jnp.where(conv_past, jnp.int32(Status.CONVERGED_DELTA),
+                                jnp.where(max_iter,
+                                          jnp.int32(Status.MAX_ITERATIONS),
+                                          jnp.int32(Status.RUNNING)))))
+
+        # History update with curvature gate (LBFGS.h:159-162)
+        s = ls.x - xp
+        y = ls.grad - gradp
+        sy, yy = coll.pdot2(s, y, y, y, axis_name)
+        accept = (~done) & (sy > eps_machine * yy)
+        hist = hist_ops.add_correction(c.hist, s, y, accept, axis_name)
+
+        # New direction d = -H g (LBFGS.h:165) and step reset (LBFGS.h:168)
+        drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name)
+
+        return _Carry(
+            k=jnp.where(done, c.k, c.k + 1),
+            x=ls.x, fx=ls.fx, grad=ls.grad, gnorm=gnorm, drt=drt,
+            step=jnp.ones((), dtype), hist=hist, fx_ring=fx_ring,
+            done=done, status=status, nfev=nfev)
+
+    def masked_body(c: _Carry) -> _Carry:
+        # Freeze finished instances so vmap-ing the whole solve is exact.
+        return tree_select(c.done, c, body(c))
+
+    out = lax.while_loop(cond, masked_body, init)
+
+    return SolveResult(x=out.x, fx=out.fx, grad=out.grad, gnorm=out.gnorm,
+                       niter=out.k, nfev=out.nfev, status=out.status,
+                       history=out.hist)
+
+
+def final_approx_hessian(result: SolveResult) -> Array:
+    """Dense approximate Hessian at the final iterate
+    (``final_approx_hessian``, LBFGS.h:192)."""
+    return hist_ops.bmat(result.history)
+
+
+def final_approx_inverse_hessian(result: SolveResult) -> Array:
+    """Dense approximate inverse Hessian at the final iterate
+    (``final_approx_inverse_hessian``, LBFGS.h:197)."""
+    return hist_ops.hmat(result.history)

@@ -1,0 +1,77 @@
+"""Benchmark objectives mirroring the reference example suite.
+
+Each objective is provided both as a plain ``fun(x) -> fx`` (for
+``jax.value_and_grad``) and as an explicit ``fun_and_grad`` using the same
+hand-written gradient formulas as the reference examples, so iteration counts
+can be compared bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def rosenbrock(x: Array) -> Array:
+    """Pairwise Rosenbrock from the reference examples
+    (examples/example-rosenbrock.cpp:14-29): for even i,
+    ``f += (1 - x_i)^2 + (10 (x_{i+1} - x_i^2))^2``."""
+    xe = x[0::2]
+    xo = x[1::2]
+    t1 = 1.0 - xe
+    t2 = 10.0 * (xo - xe * xe)
+    return jnp.sum(t1 * t1 + t2 * t2)
+
+
+def rosenbrock_fg(x: Array):
+    """Value and hand-written gradient (example-rosenbrock.cpp:18-27)."""
+    xe = x[0::2]
+    xo = x[1::2]
+    t1 = 1.0 - xe
+    t2 = 10.0 * (xo - xe * xe)
+    fx = jnp.sum(t1 * t1 + t2 * t2)
+    go = 20.0 * t2
+    ge = -2.0 * (xe * go + t1)
+    grad = jnp.stack([ge, go], axis=1).reshape(x.shape)
+    return fx, grad
+
+
+def quadratic(x: Array) -> Array:
+    """``f(x) = ||x - d||^2`` with ``d = (0, 1, ..., n-1)``
+    (examples/example-quadratic.cpp:9-18)."""
+    d = jnp.arange(x.shape[0], dtype=x.dtype)
+    r = x - d
+    return jnp.sum(r * r)
+
+
+def quadratic_fg(x: Array):
+    d = jnp.arange(x.shape[0], dtype=x.dtype)
+    r = x - d
+    return jnp.sum(r * r), 2.0 * r
+
+
+def rosenbrock_chained(x: Array) -> Array:
+    """roptim-style chained Rosenbrock used by the box example
+    (examples/example-rosenbrock-box.cpp:12-35):
+    ``f = (x_0 - 1)^2 + sum_i 4 (x_i - x_{i-1}^2)^2``."""
+    head = (x[0] - 1.0) ** 2
+    tail = 4.0 * (x[1:] - x[:-1] * x[:-1]) ** 2
+    return head + jnp.sum(tail)
+
+
+def rosenbrock_chained_fg(x: Array):
+    """Value and the reference's hand-written gradient
+    (example-rosenbrock-box.cpp:20-33)."""
+    fx = rosenbrock_chained(x)
+    n = x.shape[0]
+    grad = jnp.zeros_like(x)
+    grad = grad.at[0].set(2.0 * (x[0] - 1.0) +
+                          16.0 * (x[0] * x[0] - x[1]) * x[0])
+    mid = 8.0 * (x[1:] - x[:-1] * x[:-1])
+    grad = grad.at[1:].set(mid)
+    inner = 16.0 * (x[1:-1] * x[1:-1] - x[2:]) * x[1:-1]
+    grad = grad.at[1:-1].add(inner)
+    del n
+    return fx, grad

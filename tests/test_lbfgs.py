@@ -1,0 +1,158 @@
+"""Acceptance tests for the unconstrained L-BFGS solver.
+
+Mirrors the reference example suite (SURVEY.md §4): the README Rosenbrock
+anchor, the quadratic free-function example, the float32 example, and
+trajectory-exact agreement with the independent NumPy oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from lbfgspp_tpu import (LBFGSParams, Status, minimize,
+                         final_approx_hessian, final_approx_inverse_hessian)
+from lbfgspp_tpu.utils import objectives
+
+
+def np_rosen_fg(x):
+    fx, g = objectives.rosenbrock_fg(jnp.asarray(x))
+    return float(fx), np.asarray(g)
+
+
+class TestReadmeAnchor:
+    """README.md:88-94: Rosenbrock n=10, eps=1e-6, max_iter=100."""
+
+    params = LBFGSParams(epsilon=1e-6, max_iterations=100)
+
+    def test_converges_to_ones(self):
+        x0 = jnp.zeros(10)
+        res = minimize(objectives.rosenbrock, x0, self.params)
+        assert res.status == Status.CONVERGED_GRAD
+        np.testing.assert_allclose(np.asarray(res.x), np.ones(10), atol=1e-6)
+        assert float(res.fx) < 1e-10
+        # Reference reports 23 iterations; summation-order rounding may move
+        # the epsilon_rel crossing by an iteration or two.
+        assert 19 <= int(res.niter) <= 27
+
+    def test_matches_oracle_exactly(self):
+        """The JAX solve must agree with the scalar NumPy oracle (same
+        branch structure as the reference) on iteration count and f(x)."""
+        x0 = jnp.zeros(10)
+        res = minimize(None, x0, self.params,
+                       fun_and_grad=objectives.rosenbrock_fg)
+        p = oracle.default_params(epsilon=1e-6, max_iterations=100)
+        ores = oracle.lbfgs_minimize(np_rosen_fg, np.zeros(10), p,
+                                     "nocedalwright")
+        assert int(res.niter) == ores["niter"]
+        assert int(res.nfev) == ores["nfev"]
+        np.testing.assert_allclose(float(res.fx), ores["fx"], rtol=1e-6,
+                                   atol=1e-18)
+        np.testing.assert_allclose(np.asarray(res.x), ores["x"], atol=1e-10)
+
+    @pytest.mark.parametrize("ls", ["backtracking", "bracketing",
+                                    "morethuente", "nocedalwright"])
+    def test_all_line_searches_match_oracle(self, ls):
+        x0 = jnp.full(10, -0.5)
+        res = minimize(None, x0, self.params, line_search=ls,
+                       fun_and_grad=objectives.rosenbrock_fg)
+        p = oracle.default_params(epsilon=1e-6, max_iterations=100)
+        ores = oracle.lbfgs_minimize(np_rosen_fg, np.full(10, -0.5), p, ls)
+        assert int(res.niter) == ores["niter"], ls
+        assert int(res.nfev) == ores["nfev"], ls
+        np.testing.assert_allclose(np.asarray(res.x), ores["x"], atol=1e-8)
+
+
+class TestQuadratic:
+    """examples/example-quadratic.cpp: f(x) = ||x - (0..n-1)||^2."""
+
+    def test_exact_minimum(self):
+        n = 10
+        res = minimize(objectives.quadratic, jnp.zeros(n), LBFGSParams())
+        assert res.status == Status.CONVERGED_GRAD
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.arange(n, dtype=float), atol=1e-4)
+
+    def test_explicit_gradient(self):
+        n = 10
+        res = minimize(None, jnp.zeros(n), LBFGSParams(),
+                       fun_and_grad=objectives.quadratic_fg)
+        np.testing.assert_allclose(np.asarray(res.x),
+                                   np.arange(n, dtype=float), atol=1e-4)
+
+
+class TestFloat32:
+    """examples/example-rosenbrock.cpp runs the solver in float
+    (LBFGSParam<float>); the dtype follows x0."""
+
+    def test_f32_solve(self):
+        x0 = jnp.zeros(10, dtype=jnp.float32)
+        res = minimize(objectives.rosenbrock, x0,
+                       LBFGSParams(epsilon=1e-4, max_iterations=200))
+        assert res.x.dtype == jnp.float32
+        assert res.status in (Status.CONVERGED_GRAD, Status.CONVERGED_DELTA)
+        np.testing.assert_allclose(np.asarray(res.x), np.ones(10), atol=1e-3)
+
+
+class TestAccessors:
+    """final_approx_hessian / final_approx_inverse_hessian (LBFGS.h:192-197).
+    """
+
+    def test_hessian_inverse_pair(self):
+        res = minimize(objectives.rosenbrock, jnp.zeros(10),
+                       LBFGSParams(epsilon=1e-6, max_iterations=100))
+        B = np.asarray(final_approx_hessian(res))
+        H = np.asarray(final_approx_inverse_hessian(res))
+        np.testing.assert_allclose(B @ H, np.eye(10), atol=1e-7)
+        # Symmetry
+        np.testing.assert_allclose(B, B.T, atol=1e-9)
+        np.testing.assert_allclose(H, H.T, atol=1e-9)
+
+
+class TestTermination:
+    def test_early_exit_at_minimum(self):
+        """LBFGS.h:100-103: x0 already optimal -> 1 iteration."""
+        n = 6
+        x0 = jnp.arange(n, dtype=jnp.float64)
+        res = minimize(objectives.quadratic, x0, LBFGSParams())
+        assert int(res.niter) == 1
+        assert res.status == Status.CONVERGED_GRAD
+
+    def test_max_iterations(self):
+        res = minimize(objectives.rosenbrock, jnp.zeros(10),
+                       LBFGSParams(epsilon=1e-14, epsilon_rel=0.0,
+                                   max_iterations=3))
+        assert res.status == Status.MAX_ITERATIONS
+        assert int(res.niter) == 3
+
+    def test_past_delta_convergence(self):
+        res = minimize(objectives.rosenbrock, jnp.zeros(10),
+                       LBFGSParams(epsilon=0.0, epsilon_rel=0.0,
+                                   past=3, delta=1e-8))
+        assert res.status == Status.CONVERGED_DELTA
+
+    def test_jit_wrappable(self):
+        params = LBFGSParams(epsilon=1e-6, max_iterations=100)
+        f = jax.jit(lambda x0: minimize(objectives.rosenbrock, x0, params))
+        res = f(jnp.zeros(10))
+        np.testing.assert_allclose(np.asarray(res.x), np.ones(10), atol=1e-5)
+
+
+class TestMultiStart:
+    """examples/example-rosenbrock-bracketing.cpp:40-57: n=2..16, random
+    starts, every run must satisfy max|x_i - 1| <= 1e-4.  The reference's
+    1024-start sequential loop becomes one vmap'd launch (the batch count is
+    reduced here to keep CPU test time sane; bench.py runs the full sweep)."""
+
+    @pytest.mark.parametrize("n", [2, 8, 16])
+    def test_random_starts_vmapped(self, n):
+        params = LBFGSParams(epsilon=1e-5, max_iterations=200)
+        key = jax.random.PRNGKey(n)
+        x0s = jax.random.uniform(key, (64, n), jnp.float64, -1.0, 1.0)
+        solve = jax.jit(jax.vmap(
+            lambda x0: minimize(objectives.rosenbrock, x0, params,
+                                line_search="bracketing")))
+        res = solve(x0s)
+        diff = np.abs(np.asarray(res.x) - 1.0).max()
+        assert diff <= 1e-4, diff
