@@ -16,6 +16,7 @@ from .types import (Status, SolveResult, LineSearchResult, SUCCESS_STATUSES,
                     make_fun_and_grad)
 from .lbfgs import (minimize, final_approx_hessian,
                     final_approx_inverse_hessian)
+from .lbfgsb import minimize as minimize_b
 
 __version__ = "0.1.0"
 
@@ -26,4 +27,5 @@ __all__ = [
     "Status", "SolveResult", "LineSearchResult", "SUCCESS_STATUSES",
     "make_fun_and_grad",
     "minimize", "final_approx_hessian", "final_approx_inverse_hessian",
+    "minimize_b",
 ]

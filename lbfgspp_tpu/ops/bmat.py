@@ -1,0 +1,333 @@
+"""B-mode BFGS matrix state: the W/M operator family for L-BFGS-B.
+
+TPU-native re-design of the L-BFGS-B half of the reference's ``BFGSMat`` class
+(/root/reference/include/LBFGSpp/BFGSMat.h:99-615).  On top of the base
+ring-buffer history (:mod:`.history`) the box-constrained solver needs the
+implicit representation ``B = theta*I - W M W'`` with ``W = [Y, theta*S]`` and
+``M = inv(Minv)``, where ``Minv`` is the 2m x 2m "middle matrix"
+
+    Minv = [ -D   L'          ]
+           [  L   theta * S'S ]
+
+maintained incrementally on every correction (BFGSMat.h:99-146) and factorized
+with Bunch-Kaufman LDL' (:mod:`.bkldlt`).
+
+Fixed-shape design notes:
+
+* Everything is **slot-indexed**: vectors in "W space" have length ``2m``
+  laid out as ``[y-part (m slots); s-part (m slots)]``.  The reference stores
+  the same identity-padded 2m x 2m ``m_permMinv`` (reset to I, BFGSMat.h:72-77)
+  and pads compact ``2*ncorr`` vectors with zeros before solving
+  (apply_Mv, BFGSMat.h:361-376) — because slots fill sequentially, the
+  slot layout *is* the reference's padded layout, so no permutation is needed.
+* Index sets (P/L/U/free/active) become boolean ``[n]`` masks; every
+  row-gather ``Wb(IndexSet)`` (BFGSMat.h:338-358) becomes a masked product,
+  so all shapes are static and the whole solver stays inside one
+  ``lax.while_loop`` under ``jit``/``vmap``.
+* ``S'S`` is stored unscaled; ``theta`` is applied when building the
+  factorization input, mirroring the scale/factorize/unscale dance at
+  BFGSMat.h:143-145.
+* ``M`` is materialized densely once per factorization
+  (``mdense = solve(Minv_scaled, I)``, 2m=12 columns) so the hot GCP scan and
+  BOXCQP iterations apply ``M v`` as one tiny matvec instead of a sequential
+  triangular solve — same operator, TPU-friendly data flow.
+
+Sharding: ``s``/``y`` rows shard like ``x`` on the feature axis; every [n]
+reduction funnels through :mod:`..parallel.collectives`; all [2m]/[2m, 2m]
+state is replicated.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel import collectives as coll
+from . import bkldlt
+from .history import LBFGSHistory, init_history, add_correction
+
+Array = jax.Array
+
+
+class BHistory(NamedTuple):
+    """L-BFGS-B matrix state: base history + middle matrix + its inverse."""
+
+    base: LBFGSHistory
+    minv: Array     # [2m, 2m] symmetric middle matrix, S'S block unscaled,
+                    # identity at unused slots (BFGSMat.h:51, :72-77)
+    mdense: Array   # [2m, 2m] dense inverse of the theta-scaled minv
+                    # (the operator M; reference keeps a BKLDLT factorization,
+                    # BFGSMat.h:52, :143-145)
+    info: Array     # int32, numerical status of the factorization
+
+    @property
+    def m(self) -> int:
+        return self.base.m
+
+    @property
+    def theta(self) -> Array:
+        return self.base.theta
+
+
+# When True, the middle-matrix systems use the faithful Bunch-Kaufman LDL'
+# (:mod:`.bkldlt`) exactly like the reference; when False they use one fused
+# ``jnp.linalg.solve`` (LU) — algebraically the same solve, far cheaper to
+# compile and a single XLA op on TPU.  The BKLDLT path is kept for numerics
+# parity testing (tests/test_bkldlt.py) and for pathologically indefinite
+# middle matrices.
+USE_BKLDLT = False
+
+
+def _dense_inv(a: Array) -> Array:
+    """Inverse of a small dense matrix by Gauss-Jordan elimination with
+    partial pivoting, as a ``lax.fori_loop``.
+
+    Chosen over ``jnp.linalg.solve`` deliberately: XLA's LuDecomposition
+    expander is heavyweight to compile and lacks f64 on TPU, while a 2m x 2m
+    (=12x12 default) elimination is a 12-step loop of rank-1 updates that
+    compiles in milliseconds, runs in VMEM, and vmaps cleanly for batch mode.
+    Partial pivoting gives the same solution as the reference's Bunch-Kaufman
+    solve (BKLDLT.h) up to roundoff; set :data:`USE_BKLDLT` for the faithful
+    factorization.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    rows = jnp.arange(n)
+    aug = jnp.concatenate([a, jnp.eye(n, dtype=dtype)], axis=1)
+
+    def body(k, aug):
+        col = jnp.where(rows >= k, jnp.abs(aug[:, k]), -1.0)
+        p = jnp.argmax(col)
+        rowk, rowp = aug[k], aug[p]
+        aug = aug.at[k].set(rowp).at[p].set(rowk)
+        piv = aug[k, k]
+        piv = jnp.where(piv == 0.0, jnp.ones((), dtype), piv)
+        rowk = aug[k] / piv
+        factors = aug[:, k].at[k].set(0.0)
+        return aug.at[k].set(rowk) - jnp.outer(factors, rowk)
+
+    aug = lax.fori_loop(0, n, body, aug)
+    return aug[:, n:]
+
+
+def _sym_solve(a: Array, b: Array):
+    """Solve ``a x = b`` for the (possibly indefinite) symmetric 2m x 2m
+    middle matrix: BKLDLT (BFGSMat.h:52, :558) or Gauss-Jordan."""
+    if USE_BKLDLT:
+        fac = bkldlt.compute(a)
+        if b.ndim == 1:
+            return bkldlt.solve(fac, b), fac.info
+        return jax.vmap(lambda col: bkldlt.solve(fac, col),
+                        in_axes=1, out_axes=1)(b), fac.info
+    return _dense_inv(a) @ b, jnp.zeros((), jnp.int32)
+
+
+def _factor_minv(minv: Array, theta: Array, m: int):
+    """Factorize the theta-scaled middle matrix and materialize its inverse.
+
+    Mirrors BFGSMat.h:143-145 (scale S'S block by theta, factorize, unscale).
+    Returns ``(mdense, info)`` where ``mdense @ v`` equals the reference's
+    ``m_permMsolver.solve(v)``.
+    """
+    dtype = minv.dtype
+    # Only the S'S block is scaled by theta: rows >= m AND cols >= m.
+    sel = jnp.arange(2 * m) >= m
+    block_mask = sel[:, None] & sel[None, :]
+    scaled = jnp.where(block_mask, minv * theta, minv)
+    mdense, info = _sym_solve(scaled, jnp.eye(2 * m, dtype=dtype))
+    return mdense, info
+
+
+def init_b_history(n: int, m: int, dtype=jnp.float32) -> BHistory:
+    """Fresh B-mode history (BFGSMat::reset with LBFGSB=true,
+    BFGSMat.h:61-78)."""
+    base = init_history(n, m, dtype)
+    minv = jnp.eye(2 * m, dtype=dtype)
+    mdense, info = _factor_minv(minv, base.theta, m)
+    return BHistory(base=base, minv=minv, mdense=mdense, info=info)
+
+
+def add_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
+                     axis_name: Optional[str] = None) -> BHistory:
+    """Masked correction update including the middle matrix
+    (BFGSMat::add_correction, B branch, BFGSMat.h:81-147).
+
+    Incremental updates, all gated by ``accept``:
+
+    * ``Minv[loc, loc] = -s'y`` (the -D block, BFGSMat.h:107);
+    * row/column ``m + loc`` of the S'S block gets ``S's_new``
+      (BFGSMat.h:111-113);
+    * the L-block row for the new ``s`` holds ``s_new' y_j`` for the
+      ``ncorr - 1`` most recent *older* corrections (BFGSMat.h:115-140);
+      writing the whole ring-distance-masked row also re-zeroes the stale
+      column of the overwritten slot (the ``setZero`` at BFGSMat.h:129-130);
+    * refactorize (BFGSMat.h:143-145).
+    """
+    m = bh.m
+    dtype = s.dtype
+    m32 = jnp.int32(m)
+    zero32 = jnp.int32(0)
+    loc = (bh.base.ptr % m).astype(jnp.int32)
+    base = add_correction(bh.base, s, y, accept, axis_name)
+    new_ncorr = base.ncorr
+
+    # One fused pair of global matvecs: S's_new and Y's_new over all slots.
+    ss_all = coll.pmatvec(base.s, s, axis_name)    # [m], ss_all[j] = s_j.s_new
+    sy_all = coll.pmatvec(base.y, s, axis_name)    # [m], sy_all[j] = y_j.s_new
+    ys_new = lax.dynamic_index_in_dim(base.ys, loc, 0, keepdims=False)
+
+    slots = jnp.arange(m)
+    valid = slots < new_ncorr
+
+    minv = bh.minv
+    # -D block diagonal entry.
+    minv = minv.at[loc, loc].set(jnp.where(accept, -ys_new, minv[loc, loc]))
+
+    # S'S row and column m+loc over valid slots (others keep identity).
+    ss_row_old = lax.dynamic_slice(minv, (m32 + loc, m32), (1, m))[0]
+    ss_row = jnp.where(valid, ss_all, ss_row_old)
+    ss_row = jnp.where(accept, ss_row, ss_row_old)
+    minv = lax.dynamic_update_slice(minv, ss_row[None, :], (m32 + loc, m32))
+    minv = lax.dynamic_update_slice(minv, ss_row[:, None], (m32, m32 + loc))
+
+    # When the buffer is full the overwritten slot's y column carries stale
+    # L entries (s_i' y_old) for every i — zero the column (and its mirror
+    # row), matching the setZero at BFGSMat.h:129-130.
+    stale = accept & (new_ncorr == m)
+    l_col_old = lax.dynamic_slice(minv, (m32, loc), (m, 1))[:, 0]
+    l_col = jnp.where(stale, jnp.zeros((m,), dtype), l_col_old)
+    minv = lax.dynamic_update_slice(minv, l_col[:, None], (m32, loc))
+    minv = lax.dynamic_update_slice(minv, l_col[None, :], (loc, m32))
+
+    # L-block row for the new s: entries for ring distance 1..ncorr-1.
+    dist = (loc - slots) % m
+    in_window = (dist >= 1) & (dist <= new_ncorr - 1)
+    l_row_old = lax.dynamic_slice(minv, (m32 + loc, zero32), (1, m))[0]
+    l_row = jnp.where(in_window, sy_all, jnp.zeros((m,), dtype))
+    l_row = jnp.where(accept, l_row, l_row_old)
+    minv = lax.dynamic_update_slice(minv, l_row[None, :], (m32 + loc, zero32))
+    minv = lax.dynamic_update_slice(minv, l_row[:, None], (zero32, m32 + loc))
+
+    mdense, info = _factor_minv(minv, base.theta, m)
+    return BHistory(base=base, minv=minv, mdense=mdense, info=info)
+
+
+# ---------------------------------------------------------------------------
+# The W/M operator family (BFGSMat.h:304-615).  All [2m] vectors use the
+# slot layout [y-part; s-part]; invalid slots carry zeros.
+# ---------------------------------------------------------------------------
+
+def apply_wtv(bh: BHistory, v: Array,
+              axis_name: Optional[str] = None) -> Array:
+    """``W'v`` with ``W = [Y, theta*S]`` (BFGSMat::apply_Wtv,
+    BFGSMat.h:315-320).  Both matvecs ride one collective."""
+    m = bh.m
+    stacked = jnp.concatenate([bh.base.y, bh.base.s], axis=0)   # [2m, n]
+    res = coll.pmatvec(stacked, v, axis_name)
+    return res.at[m:].multiply(bh.theta)
+
+
+def apply_mv(bh: BHistory, v: Array) -> Array:
+    """``M v`` on a [2m] slot-layout vector (BFGSMat::apply_Mv,
+    BFGSMat.h:361-376).  Identity padding keeps invalid slots at zero."""
+    return bh.mdense @ v
+
+
+def w_matvec(bh: BHistory, v2m: Array) -> Array:
+    """``W v2m`` mapping [2m] -> [n] with ``W = [Y, theta*S]``."""
+    m = bh.m
+    vy = v2m[:m]
+    vs = v2m[m:] * bh.theta
+    return jnp.einsum("mn,m->n", bh.base.y, vy,
+                      precision=lax.Precision.HIGHEST) + \
+        jnp.einsum("mn,m->n", bh.base.s, vs,
+                   precision=lax.Precision.HIGHEST)
+
+
+def apply_wtpv(bh: BHistory, mask: Array, v: Array,
+               axis_name: Optional[str] = None) -> Array:
+    """``W'(P v)`` where P selects the coordinates in ``mask``
+    (BFGSMat::apply_WtPv, BFGSMat.h:382-430): a masked :func:`apply_wtv`."""
+    return apply_wtv(bh, jnp.where(mask, v, 0.0), axis_name)
+
+
+def apply_ptwmv(bh: BHistory, mask: Array, v2m: Array, scale) -> Array:
+    """``scale * P'(W M v)`` mapping [2m] -> [n] masked by P
+    (BFGSMat::apply_PtWMv, BFGSMat.h:435-478)."""
+    mv = apply_mv(bh, v2m)
+    res = w_matvec(bh, mv)
+    return jnp.where(mask, scale * res, 0.0)
+
+
+def compute_ftbab(bh: BHistory, free_mask: Array, act_mask: Array,
+                  wd: Array, drt: Array,
+                  axis_name: Optional[str] = None) -> Array:
+    """``F'BAb = -(F'W) M (W'AA'd)`` (BFGSMat::compute_FtBAb,
+    BFGSMat.h:486-522), with A = new-active mask and F = free mask.
+
+    The reference chooses between two algebraically equal routes based on
+    sparsity; with masks one masked matvec covers both."""
+    rhs = apply_wtpv(bh, act_mask, drt, axis_name)
+    return apply_ptwmv(bh, free_mask, rhs, -1.0)
+
+
+def solve_ptbp(bh: BHistory, mask: Array, v: Array,
+               axis_name: Optional[str] = None) -> Array:
+    """``inv(P'BP) v`` on the masked coordinates (BFGSMat::solve_PtBP,
+    BFGSMat.h:529-565):
+
+        inv(P'BP) v = v/theta + WP inv(inv(M) - WP'WP/theta) WP' v / theta^2
+
+    The 2m x 2m "mid" matrix is built from ``minv`` minus the Gram matrices of
+    the P-masked W rows and factorized fresh per call (reference builds a new
+    BKLDLT, BFGSMat.h:558).  Identity padding decouples invalid slots."""
+    m = bh.m
+    theta = bh.theta
+
+    ym = jnp.where(mask, bh.base.y, 0.0)           # [m, n] masked rows
+    sm = jnp.where(mask, bh.base.s, 0.0)
+    stacked = jnp.concatenate([ym, sm], axis=0)    # [2m, n]
+    gram = coll.pgram(stacked, axis_name)          # [2m, 2m]
+    g_yy = gram[:m, :m]
+    g_sy = gram[m:, :m]
+    g_ss = gram[m:, m:]
+
+    mid_tl = bh.minv[:m, :m] - g_yy / theta
+    mid_bl = bh.minv[m:, :m] - g_sy
+    mid_br = theta * (bh.minv[m:, m:] - g_ss)
+    mid = jnp.block([[mid_tl, mid_bl.T], [mid_bl, mid_br]])
+
+    wpv = coll.pmatvec(stacked, jnp.where(mask, v, 0.0), axis_name)
+    wpv = wpv.at[m:].multiply(theta)
+    z, _ = _sym_solve(mid, wpv)
+    z = z.at[m:].multiply(theta)
+    # WP @ z with *raw* S rows (theta is carried in z's s-part, as in the
+    # reference where WP omits the theta factor, BFGSMat.h:540, :560-564).
+    wz = jnp.einsum("mn,m->n", bh.base.y, z[:m],
+                    precision=lax.Precision.HIGHEST) + \
+        jnp.einsum("mn,m->n", bh.base.s, z[m:],
+                   precision=lax.Precision.HIGHEST)
+    res = v / theta + wz / (theta * theta)
+    return jnp.where(mask, res, 0.0)
+
+
+def apply_ptbqv(bh: BHistory, p_mask: Array, q_mask: Array, v: Array,
+                axis_name: Optional[str] = None) -> Array:
+    """``P'BQv = -WP M WQ' v`` for disjoint masks P, Q
+    (BFGSMat::apply_PtBQv, BFGSMat.h:570-615)."""
+    rhs = apply_wtpv(bh, q_mask, v, axis_name)
+    mv = apply_mv(bh, rhs)
+    res = w_matvec(bh, mv)
+    return jnp.where(p_mask, -res, 0.0)
+
+
+def w_columns(bh: BHistory, idx: Array) -> Array:
+    """Rows of W gathered at coordinate indices ``idx`` -> [len(idx), 2m]
+    (``Wb``, BFGSMat.h:325-335), used to pre-gather the GCP scan inputs."""
+    m = bh.m
+    ycols = bh.base.y[:, idx].T                    # [k, m]
+    scols = bh.base.s[:, idx].T * bh.theta
+    return jnp.concatenate([ycols, scols], axis=1)

@@ -83,3 +83,12 @@ def pmatvec(mat: Array, v: Array, axis_name: Optional[str] = None) -> Array:
     S'v / Y'v families (BFGSMat.h:315-320)."""
     local = jnp.einsum("mn,n->m", mat, v, precision=lax.Precision.HIGHEST)
     return lax.psum(local, axis_name) if axis_name is not None else local
+
+
+def pgram(mat: Array, axis_name: Optional[str] = None) -> Array:
+    """Global Gram matrix ``mat @ mat.T`` of a [k, n_local] matrix: the k^2
+    reductions ride one collective.  Used for the masked ``WP'WP`` blocks of
+    ``solve_PtBP`` (BFGSMat.h:541-556)."""
+    local = jnp.einsum("an,bn->ab", mat, mat,
+                       precision=lax.Precision.HIGHEST)
+    return lax.psum(local, axis_name) if axis_name is not None else local

@@ -1,0 +1,157 @@
+"""Unit tests for the B-mode W/M operator family (ops/bmat.py) against the
+NumPy oracle and dense linear algebra.
+
+The dense oracle materializes B = theta*I - W M W' with W = [Y, theta*S]
+(BFGSMat.h:150-208 semantics) and checks every operator against a direct
+dense computation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lbfgspp_tpu.ops import bmat
+from oracle_b import OracleBHistory
+
+
+def make_histories(n, m, ncorr, seed=0):
+    """Build matching JAX / oracle histories from ncorr random corrections."""
+    rng = np.random.default_rng(seed)
+    bh = bmat.init_b_history(n, m, jnp.float64)
+    ob = OracleBHistory(n, m)
+    for _ in range(ncorr):
+        s = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        if s @ y < 0:
+            y = -y
+        y = y + 0.1 * s  # ensure solid curvature
+        bh = bmat.add_correction_b(bh, jnp.asarray(s), jnp.asarray(y),
+                                   jnp.asarray(True))
+        ob.add_correction(s, y)
+    return bh, ob, rng
+
+
+def slot_to_compact(v2m, m, ncorr):
+    """Map a [2m] slot-layout vector to the oracle's [2*ncorr] compact
+    layout (valid while slots fill sequentially or the buffer is full)."""
+    c = min(ncorr, m)
+    return np.concatenate([v2m[:c], v2m[m:m + c]])
+
+
+def dense_b(ob: OracleBHistory):
+    """Dense B = theta*I - W M W' from the oracle state."""
+    n = ob.s.shape[1]
+    c = ob.ncorr
+    th = ob.theta
+    if c == 0:
+        return th * np.eye(n)
+    w = np.concatenate([ob.y[:c].T, th * ob.s[:c].T], axis=1)   # [n, 2c]
+    m_c = ob.minv[:c, :c]
+    mm = np.zeros((2 * c, 2 * c))
+    mm[:c, :c] = m_c
+    mm[c:, :c] = ob.minv[ob.m:ob.m + c, :c]
+    mm[:c, c:] = mm[c:, :c].T
+    mm[c:, c:] = th * ob.minv[ob.m:ob.m + c, ob.m:ob.m + c]
+    return th * np.eye(n) - w @ np.linalg.solve(mm, w.T)
+
+
+@pytest.mark.parametrize("ncorr", [0, 1, 3, 6, 9])
+def test_minv_matches_oracle(ncorr):
+    n, m = 12, 6
+    bh, ob, _ = make_histories(n, m, ncorr, seed=ncorr)
+    np.testing.assert_allclose(np.asarray(bh.minv), ob.minv, rtol=1e-12)
+    np.testing.assert_allclose(float(bh.theta), ob.theta, rtol=1e-12)
+
+
+@pytest.mark.parametrize("ncorr", [1, 3, 6, 9])
+def test_apply_wtv_and_mv(ncorr):
+    n, m = 12, 6
+    bh, ob, rng = make_histories(n, m, ncorr, seed=10 + ncorr)
+    v = rng.standard_normal(n)
+    got = slot_to_compact(np.asarray(bmat.apply_wtv(bh, jnp.asarray(v))),
+                          m, ncorr)
+    np.testing.assert_allclose(got, ob.apply_wtv(v), rtol=1e-11)
+
+    v2 = rng.standard_normal(2 * m)
+    got_mv = np.asarray(bmat.apply_mv(bh, jnp.asarray(v2)))
+    # Compact input for the oracle
+    c = min(ncorr, m)
+    v2c = np.concatenate([v2[:c], v2[m:m + c]])
+    want = ob.apply_mv(v2c)
+    np.testing.assert_allclose(slot_to_compact(got_mv, m, ncorr), want,
+                               rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("ncorr", [1, 4, 6, 9])
+def test_solve_ptbp_dense(ncorr):
+    """solve_PtBP == inv(B[P, P]) restricted to the mask."""
+    n, m = 14, 6
+    bh, ob, rng = make_histories(n, m, ncorr, seed=20 + ncorr)
+    mask_np = rng.random(n) < 0.6
+    mask_np[0] = True
+    v = rng.standard_normal(n) * mask_np
+    got = np.asarray(bmat.solve_ptbp(bh, jnp.asarray(mask_np),
+                                     jnp.asarray(v)))
+    idx = np.where(mask_np)[0]
+    bdense = dense_b(ob)
+    want = np.linalg.solve(bdense[np.ix_(idx, idx)], v[idx])
+    np.testing.assert_allclose(got[idx], want, rtol=1e-8, atol=1e-10)
+    assert np.all(got[~mask_np] == 0)
+    # also vs the oracle's own solve_ptbp
+    np.testing.assert_allclose(got[idx], ob.solve_ptbp(idx, v[idx]),
+                               rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("ncorr", [1, 5, 8])
+def test_apply_ptbqv_dense(ncorr):
+    n, m = 14, 6
+    bh, ob, rng = make_histories(n, m, ncorr, seed=30 + ncorr)
+    lab = rng.integers(0, 3, n)   # 0 = P, 1 = Q, 2 = neither
+    p_mask = lab == 0
+    q_mask = lab == 1
+    v = rng.standard_normal(n) * q_mask
+    got = np.asarray(bmat.apply_ptbqv(bh, jnp.asarray(p_mask),
+                                      jnp.asarray(q_mask), jnp.asarray(v)))
+    bdense = dense_b(ob)
+    pidx = np.where(p_mask)[0]
+    qidx = np.where(q_mask)[0]
+    # P'BQv has only the off-diagonal -WMW' part (theta*I vanishes for
+    # disjoint sets)
+    want = (bdense[np.ix_(pidx, qidx)] -
+            np.diag(np.full(n, ob.theta))[np.ix_(pidx, qidx)]) @ v[qidx]
+    np.testing.assert_allclose(got[pidx], want, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(got[pidx], ob.apply_ptbqv(pidx, qidx, v[qidx]),
+                               rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("ncorr", [1, 4, 7])
+def test_compute_ftbab(ncorr):
+    n, m = 14, 6
+    bh, ob, rng = make_histories(n, m, ncorr, seed=40 + ncorr)
+    lab = rng.integers(0, 2, n)
+    free_mask = lab == 0
+    act_mask = lab == 1
+    drt = rng.standard_normal(n)
+    wd = bmat.apply_wtv(bh, jnp.asarray(drt))    # any [2m] works
+    got = np.asarray(bmat.compute_ftbab(bh, jnp.asarray(free_mask),
+                                        jnp.asarray(act_mask), wd,
+                                        jnp.asarray(drt)))
+    fidx = np.where(free_mask)[0]
+    aidx = np.where(act_mask)[0]
+    wd_c = ob.apply_wtv(drt)
+    want = ob.compute_ftbab(fidx, aidx, wd_c, drt)
+    np.testing.assert_allclose(got[fidx], want, rtol=1e-9, atol=1e-11)
+
+
+def test_rejected_correction_keeps_state():
+    n, m = 10, 4
+    bh, ob, rng = make_histories(n, m, 3, seed=50)
+    s = rng.standard_normal(n)
+    y = rng.standard_normal(n)
+    bh2 = bmat.add_correction_b(bh, jnp.asarray(s), jnp.asarray(y),
+                                jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(bh2.minv), np.asarray(bh.minv))
+    np.testing.assert_array_equal(np.asarray(bh2.base.s),
+                                  np.asarray(bh.base.s))
+    assert int(bh2.base.ncorr) == int(bh.base.ncorr)
+    assert int(bh2.base.ptr) == int(bh.base.ptr)
