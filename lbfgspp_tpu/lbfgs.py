@@ -87,10 +87,18 @@ def minimize(fun: Optional[Callable] = None,
     drt0 = -grad0
     step0 = 1.0 / coll.pnorm(drt0, axis_name)
 
+    hist0 = hist_ops.init_history(n, m, dtype)
+    if axis_name is not None:
+        # Mark the shard-local history matrices as device-varying for
+        # shard_map's type system (their zeros initializer is invariant but
+        # the loop body writes shard-local s/y rows into them).
+        hist0 = hist0._replace(s=coll.pvary(hist0.s, axis_name),
+                               y=coll.pvary(hist0.y, axis_name))
+
     init = _Carry(
         k=jnp.ones((), jnp.int32),
         x=x0, fx=fx0, grad=grad0, gnorm=gnorm0, drt=drt0, step=step0,
-        hist=hist_ops.init_history(n, m, dtype),
+        hist=hist0,
         fx_ring=fx_ring,
         done=early,
         status=jnp.where(early, jnp.int32(Status.CONVERGED_GRAD),

@@ -30,6 +30,16 @@ def psum_scalar(x: Array, axis_name: Optional[str]) -> Array:
     return lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def pvary(x: Array, axis_name: Optional[str]) -> Array:
+    """Mark a shard-invariant value as device-varying for shard_map's
+    varying-axes type system.  Needed for carry initializers (e.g. the
+    zeroed history matrices) that a while_loop body overwrites with
+    shard-local data."""
+    if axis_name is None:
+        return x
+    return lax.pcast(x, (axis_name,), to="varying")
+
+
 def pdot(a: Array, b: Array, axis_name: Optional[str] = None) -> Array:
     """Global inner product a.b (Eigen ``a.dot(b)``)."""
     return psum_scalar(jnp.dot(a, b, precision=lax.Precision.HIGHEST),

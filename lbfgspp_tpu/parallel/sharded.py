@@ -1,0 +1,135 @@
+"""Feature-axis sharded solves over a device mesh.
+
+The reference is a single-address-space library; scaling the parameter
+dimension across devices is a greenfield capability mandated by the north
+star (SURVEY.md §2, "Data/model sharding of x").  The design follows the
+communication audit in SURVEY.md §5: the solver's only cross-shard data
+dependencies are scalar reductions (dots, norms, the step_max min-reduce) and
+the replicated [m]/[2m] quantities, so
+
+* ``x``, ``g``, ``drt`` and the history rows ``s``/``y`` are sharded on a 1-D
+  mesh over the feature axis,
+* every reduction inside the solver goes through
+  :mod:`.collectives` and becomes one ``lax.psum``/``pmin``/``pmax`` over ICI
+  (DCN across slices rides the same collective),
+* all scalar and [m]-sized state stays replicated.
+
+The entry point wraps :func:`lbfgspp_tpu.lbfgs.minimize` (and the
+box-constrained variant) in ``jax.shard_map``.  The user's objective is
+written *locally*: it receives this device's shard of ``x`` and returns the
+**partial** objective value (and optionally the local gradient shard); the
+wrapper inserts the ``psum``.  Gradients of a partial objective are exact
+because AD of ``psum(f_local)`` w.r.t. the local shard is local.
+
+Example (separable quadratic, features sharded)::
+
+    mesh = Mesh(np.asarray(jax.devices()), ("feat",))
+
+    def local_fun(w_local):              # partial objective of this shard
+        return jnp.sum((w_local - d_local) ** 2)
+
+    res = minimize_sharded(local_fun, x0=w_global, mesh=mesh,
+                           params=LBFGSParams())
+
+For objectives that are not additively separable in the feature shards
+(e.g. logistic regression where the logit is a dot over all features), pass
+``local_fun_and_grad`` computing ``(fx_global, grad_local)`` with its own
+collectives — see ``utils.objectives.make_sharded_logreg`` for the worked
+pattern.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import LBFGSParams, LBFGSBParams
+from ..types import SolveResult
+from . import collectives as coll
+
+Array = jax.Array
+
+AXIS = "feat"
+
+
+def _result_specs(axis: str):
+    """PartitionSpec pytree for a SolveResult: vectors sharded on the feature
+    axis, history matrices sharded on their minor axis, scalars replicated."""
+    from ..ops.history import LBFGSHistory
+    vec = P(axis)
+    rep = P()
+    hist = LBFGSHistory(s=P(None, axis), y=P(None, axis), ys=rep,
+                        theta=rep, ncorr=rep, ptr=rep)
+    return SolveResult(x=vec, fx=rep, grad=vec, gnorm=rep, niter=rep,
+                       nfev=rep, status=rep, history=hist)
+
+
+def make_sharded_fg(local_fun: Optional[Callable] = None,
+                    local_fun_and_grad: Optional[Callable] = None,
+                    axis_name: str = AXIS) -> Callable:
+    """Build the solver-facing ``x_local -> (fx_global, grad_local)`` oracle
+    from a *partial* local objective.
+
+    ``local_fun(x_local) -> fx_partial`` must return this shard's additive
+    contribution to the global objective (e.g. the sum over local features of
+    a separable term).  The global value is ``psum`` of the partials, and the
+    local gradient of the global objective equals the gradient of the local
+    partial whenever the objective is additively separable across shards.
+
+    For non-separable objectives pass ``local_fun_and_grad`` computing
+    ``(fx_global, grad_local)`` directly with its own collectives.
+    """
+    if local_fun_and_grad is not None:
+        return local_fun_and_grad
+    if local_fun is None:
+        raise ValueError("pass 'local_fun' or 'local_fun_and_grad'")
+
+    def fg(x_local):
+        fx_part, g_local = jax.value_and_grad(local_fun)(x_local)
+        return coll.psum_scalar(fx_part, axis_name), g_local
+
+    return fg
+
+
+def minimize_sharded(local_fun: Optional[Callable] = None,
+                     x0: Array = None,
+                     params: LBFGSParams = LBFGSParams(),
+                     *,
+                     mesh: Optional[Mesh] = None,
+                     axis_name: str = AXIS,
+                     local_fun_and_grad: Optional[Callable] = None,
+                     line_search: str = "nocedalwright") -> SolveResult:
+    """L-BFGS with the parameter vector sharded over a 1-D mesh.
+
+    ``x0`` is the global [n] vector (n divisible by the mesh size); the
+    solve runs as one ``shard_map``-ped XLA program per device with exactly
+    the collective sites audited in SURVEY.md §3.1 (||g||, g.d, the
+    line-search directional derivatives, s'y & y'y fused into one psum, and
+    the 2m dots of the two-loop recursion).
+    """
+    from ..lbfgs import minimize as _minimize
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+    fg = make_sharded_fg(local_fun, local_fun_and_grad, axis_name)
+
+    def solve_local(x0_local):
+        return _minimize(fun_and_grad=fg, x0=x0_local, params=params,
+                         line_search=line_search, axis_name=axis_name)
+
+    shmapped = jax.shard_map(solve_local, mesh=mesh,
+                             in_specs=P(axis_name),
+                             out_specs=_result_specs(axis_name))
+    return shmapped(x0)
+
+
+def sharding_for(mesh: Mesh, axis_name: str = AXIS) -> NamedSharding:
+    """The NamedSharding for global parameter vectors on this mesh — use it
+    with ``jax.device_put`` to place huge ``x0`` without a host copy."""
+    return NamedSharding(mesh, P(axis_name))

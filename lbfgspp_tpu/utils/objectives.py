@@ -61,6 +61,33 @@ def rosenbrock_chained(x: Array) -> Array:
     return head + jnp.sum(tail)
 
 
+def make_sharded_logreg(a_local: Array, b: Array, axis_name: str):
+    """Feature-sharded logistic regression oracle for
+    :func:`..parallel.sharded.minimize_sharded` (the BASELINE.json
+    "sharded n=1e9 logistic-regression fit" config).
+
+    ``a_local`` is this shard's [batch, n_local] slice of the design matrix
+    (features sharded), ``b`` the replicated +/-1 labels.  The logit is a dot
+    over *all* features, so each shard contributes a partial matvec and one
+    ``psum`` makes the logits global; the loss is then replicated and the
+    gradient w.r.t. the local weight shard is local (A_local' d).  This is
+    the non-separable ``local_fun_and_grad`` pattern: exactly one collective
+    per objective evaluation.
+    """
+    import jax.nn
+    from jax import lax
+
+    def fg(w_local: Array):
+        logits = lax.psum(a_local @ w_local, axis_name)
+        z = -b * logits
+        fx = jnp.sum(jnp.logaddexp(0.0, z))
+        dlogit = -b * jax.nn.sigmoid(z)
+        g_local = a_local.T @ dlogit
+        return fx, g_local
+
+    return fg
+
+
 def rosenbrock_chained_fg(x: Array):
     """Value and the reference's hand-written gradient
     (example-rosenbrock-box.cpp:20-33)."""
