@@ -147,12 +147,11 @@ def minimize(fun: Optional[Callable] = None,
                                           jnp.int32(Status.MAX_ITERATIONS),
                                           jnp.int32(Status.RUNNING)))))
 
-        # History update with curvature gate (LBFGS.h:159-162)
+        # History update with curvature gate (LBFGS.h:159-162); gate and
+        # ring-buffer/Gram writes share one fused product (one collective).
         s = ls.x - xp
         y = ls.grad - gradp
-        sy, yy = coll.pdot2(s, y, y, y, axis_name)
-        accept = (~done) & (sy > eps_machine * yy)
-        hist = hist_ops.add_correction(c.hist, s, y, accept, axis_name)
+        hist, _ = hist_ops.update_history(c.hist, s, y, ~done, axis_name)
 
         # New direction d = -H g (LBFGS.h:165) and step reset (LBFGS.h:168)
         drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name)

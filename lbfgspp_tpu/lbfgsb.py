@@ -186,12 +186,11 @@ def minimize(fun: Optional[Callable] = None,
                                           jnp.int32(Status.MAX_ITERATIONS),
                                           jnp.int32(Status.RUNNING)))))
 
-        # History update with curvature gate (LBFGSB.h:232-238).
+        # History update with curvature gate (LBFGSB.h:232-238); gate and
+        # all incremental middle-matrix products share one fused collective.
         s = ls.x - xp
         y = ls.grad - gradp
-        sy, yy = coll.pdot2(s, y, y, y, axis_name)
-        accept = (~done) & (sy > eps_machine * yy)
-        hist = bmat.add_correction_b(hist, s, y, accept, axis_name)
+        hist, _ = bmat.update_history_b(hist, s, y, ~done, axis_name)
 
         # Projection, GCP and subspace phase (LBFGSB.h:240-250).  On the
         # terminating iteration the reference returns the line-search x

@@ -47,7 +47,8 @@ from jax import lax
 
 from ..parallel import collectives as coll
 from . import bkldlt
-from .history import LBFGSHistory, init_history, add_correction
+from .history import (LBFGSHistory, init_history, correction_products,
+                      _write_correction)
 
 Array = jax.Array
 
@@ -166,18 +167,37 @@ def add_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
       column of the overwritten slot (the ``setZero`` at BFGSMat.h:129-130);
     * refactorize (BFGSMat.h:143-145).
     """
+    yx, sx, pair = correction_products(bh.base, s, y, axis_name)
+    return _finish_correction_b(bh, s, y, accept, yx, sx, pair)
+
+
+def update_history_b(bh: BHistory, s: Array, y: Array, allow: Array,
+                     axis_name: Optional[str] = None):
+    """Fused curvature gate + B-mode correction: one collective total
+    (the gate at LBFGSB.h:237 plus BFGSMat.h:81-147)."""
+    eps = jnp.finfo(s.dtype).eps
+    yx, sx, pair = correction_products(bh.base, s, y, axis_name)
+    sy_new, yy_new, _ = pair
+    accept = allow & (sy_new > eps * yy_new)
+    return _finish_correction_b(bh, s, y, accept, yx, sx, pair), accept
+
+
+def _finish_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
+                         yx: Array, sx: Array, pair) -> BHistory:
     m = bh.m
     dtype = s.dtype
     m32 = jnp.int32(m)
     zero32 = jnp.int32(0)
     loc = (bh.base.ptr % m).astype(jnp.int32)
-    base = add_correction(bh.base, s, y, accept, axis_name)
+    base = _write_correction(bh.base, s, y, accept, yx, sx, pair)
     new_ncorr = base.ncorr
 
-    # One fused pair of global matvecs: S's_new and Y's_new over all slots.
-    ss_all = coll.pmatvec(base.s, s, axis_name)    # [m], ss_all[j] = s_j.s_new
-    sy_all = coll.pmatvec(base.y, s, axis_name)    # [m], sy_all[j] = y_j.s_new
-    ys_new = lax.dynamic_index_in_dim(base.ys, loc, 0, keepdims=False)
+    ys_new, _, ss_new = pair
+    slots_eq_loc = jnp.arange(m) == loc
+    # s_j . s_new over all slots (new pair product on the diagonal)
+    ss_all = jnp.where(slots_eq_loc, ss_new, sx[:, 1])
+    # y_j . s_new over all slots
+    sy_all = jnp.where(slots_eq_loc, ys_new, yx[:, 1])
 
     slots = jnp.arange(m)
     valid = slots < new_ncorr

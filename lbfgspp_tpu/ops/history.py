@@ -47,6 +47,13 @@ class LBFGSHistory(NamedTuple):
     ``B = theta * I - W M W'`` and ``H = B^{-1}`` are never formed; see
     :func:`apply_hv` for the two-loop application of H and :func:`bmat` /
     :func:`hmat` for the dense accessors.
+
+    On top of the reference's state, the TPU design caches the slot-ordered
+    Gram matrices ``sy[i, j] = s_i . y_j`` and ``yy[i, j] = y_i . y_j``:
+    they change only on ``add_correction`` (one fused [2m+2, 2] product)
+    and turn the two-loop recursion into a *scalar* recursion plus two
+    fused [2m, n] matvecs — one collective per H application instead of 2m
+    (see :func:`apply_hv`).
     """
 
     s: Array       # [m, n] correction s-vectors (rows, ring order)
@@ -56,6 +63,8 @@ class LBFGSHistory(NamedTuple):
     ncorr: Array   # int32 scalar, number of valid corrections (<= m)
     ptr: Array     # int32 scalar, ring pointer in [1, m], init m
                    # (BFGSMat.h:70: first write lands at slot ptr % m == 0)
+    sy: Array      # [m, m] cached Gram s_i . y_j (slot order)
+    yy: Array      # [m, m] cached Gram y_i . y_j
 
     @property
     def m(self) -> int:
@@ -71,7 +80,71 @@ def init_history(n: int, m: int, dtype=jnp.float32) -> LBFGSHistory:
         theta=jnp.ones((), dtype),
         ncorr=jnp.zeros((), jnp.int32),
         ptr=jnp.asarray(m, jnp.int32),
+        sy=jnp.zeros((m, m), dtype),
+        yy=jnp.zeros((m, m), dtype),
     )
+
+
+def correction_products(hist: LBFGSHistory, s: Array, y: Array,
+                        axis_name: Optional[str] = None):
+    """All inner products a correction update needs, in ONE fused product
+    (one collective when sharded):
+
+        [Y_old; S_old; y; s] @ [y, s]'  ->  [2m + 2, 2]
+
+    Returns ``(yx, sx, pair)`` where ``yx = [Y@y, Y@s]`` ([m, 2]),
+    ``sx = [S@y, S@s]`` ([m, 2]) and ``pair = (s.y, y.y, s.s)``.
+    """
+    m = hist.m
+    stacked = jnp.concatenate([hist.y, hist.s, y[None, :], s[None, :]],
+                              axis=0)                       # [2m+2, n]
+    rhs = jnp.stack([y, s], axis=0)                         # [2, n]
+    prod = jnp.einsum("an,bn->ab", stacked, rhs,
+                      precision=lax.Precision.HIGHEST)      # [2m+2, 2]
+    if axis_name is not None:
+        prod = lax.psum(prod, axis_name)
+    yx = prod[:m]            # [m, 2]: col 0 = Y@y, col 1 = Y@s
+    sx = prod[m:2 * m]       # [m, 2]: col 0 = S@y, col 1 = S@s
+    sy_new = prod[2 * m + 1, 0]
+    yy_new = prod[2 * m, 0]
+    ss_new = prod[2 * m + 1, 1]
+    return yx, sx, (sy_new, yy_new, ss_new)
+
+
+def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
+                      yx: Array, sx: Array, pair) -> LBFGSHistory:
+    """Masked ring-buffer write given precomputed products.
+
+    All writes are broadcast selects on a ``slot == loc`` mask — no
+    dynamic-update/scatter ops, which lower poorly on TPU under ``vmap``.
+    """
+    m = hist.m
+    loc = hist.ptr % m
+    ys, yy_new, _ = pair
+    slots = jnp.arange(m)
+    is_loc = slots == loc
+    write = accept & is_loc                      # [m] row-write mask
+
+    new_s = jnp.where(write[:, None], s[None, :], hist.s)
+    new_y = jnp.where(write[:, None], y[None, :], hist.y)
+    new_ys = jnp.where(write, ys, hist.ys)
+    new_theta = jnp.where(accept, yy_new / ys, hist.theta)
+    new_ncorr = jnp.where(accept, jnp.minimum(hist.ncorr + 1, m), hist.ncorr)
+    new_ptr = jnp.where(accept, (loc + 1).astype(jnp.int32), hist.ptr)
+
+    # Gram updates (slot order): row loc = <new vec, old slots>, column loc
+    # = <old slots, new vec>, with the new-pair products at the crossing.
+    sy_row = jnp.where(is_loc, ys, yx[:, 1])        # s_new . y_j
+    sy_col = jnp.where(is_loc, ys, sx[:, 0])        # s_i . y_new
+    yy_row = jnp.where(is_loc, yy_new, yx[:, 0])    # y_new . y_j
+
+    new_sy = jnp.where(write[:, None], sy_row[None, :], hist.sy)
+    new_sy = jnp.where(write[None, :], sy_col[:, None], new_sy)
+    new_yy = jnp.where(write[:, None], yy_row[None, :], hist.yy)
+    new_yy = jnp.where(write[None, :], yy_row[:, None], new_yy)
+
+    return LBFGSHistory(new_s, new_y, new_ys, new_theta, new_ncorr, new_ptr,
+                        new_sy, new_yy)
 
 
 def add_correction(hist: LBFGSHistory, s: Array, y: Array,
@@ -86,40 +159,106 @@ def add_correction(hist: LBFGSHistory, s: Array, y: Array,
     ``s'y > eps * y'y`` (LBFGS.h:161, LBFGSB.h:237) skips the pair but leaves
     the buffer untouched.
     """
+    yx, sx, pair = correction_products(hist, s, y, axis_name)
+    return _write_correction(hist, s, y, accept, yx, sx, pair)
+
+
+def update_history(hist: LBFGSHistory, s: Array, y: Array, allow: Array,
+                   axis_name: Optional[str] = None):
+    """Fused curvature gate + correction write: one collective total.
+
+    Applies the reference's gate ``s'y > eps_machine * y'y`` (LBFGS.h:161)
+    under the caller's ``allow`` mask.  Returns ``(new_hist, accept)``.
+    """
+    eps = jnp.finfo(s.dtype).eps
+    yx, sx, pair = correction_products(hist, s, y, axis_name)
+    sy_new, yy_new, _ = pair
+    accept = allow & (sy_new > eps * yy_new)
+    return _write_correction(hist, s, y, accept, yx, sx, pair), accept
+
+
+def _age_slots(hist: LBFGSHistory):
+    """Slot index per age step t (newest first) and validity mask."""
     m = hist.m
-    loc = hist.ptr % m
-
-    ys, yy = coll.pdot2(s, y, y, y, axis_name)
-
-    s_row = jnp.where(accept, s, lax.dynamic_index_in_dim(hist.s, loc, 0,
-                                                          keepdims=False))
-    y_row = jnp.where(accept, y, lax.dynamic_index_in_dim(hist.y, loc, 0,
-                                                          keepdims=False))
-    new_s = lax.dynamic_update_index_in_dim(hist.s, s_row, loc, 0)
-    new_y = lax.dynamic_update_index_in_dim(hist.y, y_row, loc, 0)
-    new_ys = jnp.where(accept, hist.ys.at[loc].set(ys), hist.ys)
-    new_theta = jnp.where(accept, yy / ys, hist.theta)
-    new_ncorr = jnp.where(accept, jnp.minimum(hist.ncorr + 1, m), hist.ncorr)
-    new_ptr = jnp.where(accept, (loc + 1).astype(jnp.int32), hist.ptr)
-
-    return LBFGSHistory(new_s, new_y, new_ys, new_theta, new_ncorr, new_ptr)
+    t = jnp.arange(m, dtype=jnp.int32)
+    slots = (hist.ptr - 1 - t) % m
+    valid = t < hist.ncorr
+    return slots, valid
 
 
 def apply_hv(hist: LBFGSHistory, v: Array, a,
              axis_name: Optional[str] = None) -> Array:
     """Two-loop recursion computing ``a * H * v`` (BFGSMat.h:276-302;
-    Nocedal & Wright Alg. 7.4).
+    Nocedal & Wright Alg. 7.4), in compact (Gram-cached) form.
 
-    The m-loop is unrolled at trace time (m is small and static, default 6) —
-    each step is one global dot + one axpy over the sharded vector, so the
-    sequential dependence costs 2m collectives per call when sharded; within a
-    chip XLA fuses each dot+axpy pair over a single HBM pass.
+    The classical two-loop interleaves 2m global dots with 2m axpys.  Using
+    the cached Grams ``sy``/``yy`` the inner products unroll algebraically:
+
+        alpha_j = (a * (S v)_j  - sum_{u newer} alpha_u sy[j, u]) / ys_j
+        beta_j  = ((a * (Y v)_j - sum_t alpha_t yy[j, t]) / theta
+                   + sum_{u older} (alpha_u - beta_u) sy[u, j]) / ys_j
+        res     = (a / theta) v - (1/theta) Y'alpha + S'(alpha - beta)
+
+    so one fused ``[2m, n] @ [n]`` matvec (ONE psum when sharded) plus an
+    O(m^2) scalar recursion replaces the 2m-collective sequential chain —
+    identical math, reassociated summation.
     """
+    m = hist.m
+    dtype = v.dtype
+    a = jnp.asarray(a, dtype)
+
+    stacked = jnp.concatenate([hist.s, hist.y], axis=0)     # [2m, n]
+    sv_yv = coll.pmatvec(stacked, v, axis_name)             # [2m]
+    sv, yv = sv_yv[:m], sv_yv[m:]
+
+    # Age ordering as a one-hot permutation (matmuls, not gathers — batched
+    # gathers/scatters lower poorly on TPU under vmap).
+    slots, valid = _age_slots(hist)
+    perm = (slots[:, None] == jnp.arange(m)[None, :]).astype(dtype)  # [m, m]
+    hp = lax.Precision.HIGHEST
+    sv_o = perm @ sv
+    yv_o = perm @ yv
+    ys_o = jnp.where(valid, perm @ hist.ys, 1.0)
+    sy_oo = jnp.einsum("ti,ij,uj->tu", perm, hist.sy, perm, precision=hp)
+    yy_oo = jnp.einsum("ti,ij,uj->tu", perm, hist.yy, perm, precision=hp)
+
+    # Loop 1 (newest -> oldest): scalar recursion for alpha.
+    alphas = []
+    for t in range(m):
+        acc = a * sv_o[t]
+        for u in range(t):
+            acc = acc - alphas[u] * sy_oo[t, u]
+        alpha = jnp.where(valid[t], acc / ys_o[t], 0.0)
+        alphas.append(alpha)
+    alpha_o = jnp.stack(alphas)
+
+    # Loop 2 (oldest -> newest): scalar recursion for beta.
+    theta = hist.theta
+    base_o = (a * yv_o - yy_oo @ alpha_o) / theta
+    betas = [None] * m
+    for r in range(m - 1, -1, -1):      # r = m-1 is the oldest age step
+        acc = base_o[r]
+        for rp in range(m - 1, r, -1):  # ages processed before r in loop 2
+            acc = acc + (alphas[rp] - betas[rp]) * sy_oo[rp, r]
+        betas[r] = jnp.where(valid[r], acc / ys_o[r], 0.0)
+    beta_o = jnp.stack(betas)
+
+    # Final combination: one [n, 2m] matvec, local (coefficients replicated).
+    w_s = perm.T @ jnp.where(valid, alpha_o - beta_o, 0.0)
+    w_y = perm.T @ jnp.where(valid, -alpha_o / theta, 0.0)
+    w = jnp.concatenate([w_s, w_y])
+    return (a / theta) * v + jnp.einsum("kn,k->n", stacked, w, precision=hp)
+
+
+def apply_hv_reference(hist: LBFGSHistory, v: Array, a,
+                       axis_name: Optional[str] = None) -> Array:
+    """The literal sequential two-loop (BFGSMat.h:276-302), kept as the
+    semantics oracle for :func:`apply_hv` and for exact-order parity
+    studies.  2m collectives when sharded."""
     m = hist.m
     dtype = v.dtype
     res = jnp.asarray(a, dtype) * v
 
-    # Loop 1: newest -> oldest (BFGSMat.h:284-290)
     alphas = []
     rows = []
     for i in range(m):
@@ -135,10 +274,8 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
         alphas.append(alpha)
         rows.append((sj, yj, ysj_safe, active))
 
-    # Apply H0 = I / theta (BFGSMat.h:292-293)
     res = res / hist.theta
 
-    # Loop 2: oldest -> newest (BFGSMat.h:296-301)
     for i in reversed(range(m)):
         sj, yj, ysj_safe, active = rows[i]
         beta = jnp.where(active, coll.pdot(yj, res, axis_name) / ysj_safe,

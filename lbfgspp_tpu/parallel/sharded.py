@@ -65,7 +65,7 @@ def _result_specs(axis: str):
     vec = P(axis)
     rep = P()
     hist = LBFGSHistory(s=P(None, axis), y=P(None, axis), ys=rep,
-                        theta=rep, ncorr=rep, ptr=rep)
+                        theta=rep, ncorr=rep, ptr=rep, sy=rep, yy=rep)
     return SolveResult(x=vec, fx=rep, grad=vec, gnorm=rep, niter=rep,
                        nfev=rep, status=rep, history=hist)
 
