@@ -15,8 +15,9 @@ from .params import (LBFGSParams, LBFGSBParams,
 from .types import (Status, SolveResult, LineSearchResult, SUCCESS_STATUSES,
                     make_fun_and_grad)
 from .lbfgs import (minimize, final_approx_hessian,
-                    final_approx_inverse_hessian)
-from .lbfgsb import minimize as minimize_b
+                    final_approx_inverse_hessian, solver, Solver, LBFGSState)
+from .lbfgsb import (minimize as minimize_b, solver as solver_b,
+                     LBFGSBState)
 
 __version__ = "0.1.0"
 
@@ -28,4 +29,5 @@ __all__ = [
     "make_fun_and_grad",
     "minimize", "final_approx_hessian", "final_approx_inverse_hessian",
     "minimize_b",
+    "solver", "solver_b", "Solver", "LBFGSState", "LBFGSBState",
 ]

@@ -15,11 +15,16 @@ Algorithmic invariants preserved from the reference:
 * convergence when ``||g|| <= max(epsilon, epsilon_rel * ||x||)``
   (LBFGS.h:100, :137) plus the optional past/delta objective test over a
   circular buffer (LBFGS.h:142-149); ``max_iterations == 0`` means unlimited.
+
+Beyond the reference's run-to-completion ``minimize``, the solver is also
+exposed as an explicit ``init / step / finalize`` triple (:func:`solver`):
+the full state is one pytree, so checkpointing a long solve is serializing
+the carry, resuming is passing it back, and driving N steps at a time from
+the host needs no framework support (SURVEY.md §5 checkpoint/resume).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -35,7 +40,14 @@ from .types import (SolveResult, Status, make_fun_and_grad, tree_select)
 Array = jax.Array
 
 
-class _Carry(NamedTuple):
+class LBFGSState(NamedTuple):
+    """Full solver state — the ``lax.while_loop`` carry.
+
+    The reference keeps this as mutable members of ``LBFGSSolver``
+    (LBFGS.h:31-38); here it is an explicit pytree: serialize it to
+    checkpoint, restore it to resume.
+    """
+
     k: Array
     x: Array
     fx: Array
@@ -50,65 +62,81 @@ class _Carry(NamedTuple):
     nfev: Array
 
 
-def minimize(fun: Optional[Callable] = None,
-             x0: Array = None,
-             params: LBFGSParams = LBFGSParams(),
-             *,
-             fun_and_grad=None,
-             line_search="nocedalwright",
-             axis_name: Optional[str] = None) -> SolveResult:
-    """Minimize ``fun`` from ``x0`` with L-BFGS.
+# Backwards-compatible private alias
+_Carry = LBFGSState
 
-    Mirrors ``LBFGSSolver::minimize`` (LBFGS.h:79-173).  ``line_search``
-    defaults to Nocedal-Wright as in the reference (LBFGS.h:21).  Under
-    ``shard_map`` pass the mesh ``axis_name``; every global reduction then
-    becomes one collective.
+
+class Solver(NamedTuple):
+    """An ``init / step / finalize`` view of a solver (SURVEY.md §5).
+
+    ``init(x0) -> state``; ``step(state) -> state`` runs ONE outer iteration
+    (no-op once ``state.done``); ``finalize(state) -> SolveResult``;
+    ``run(state) -> state`` iterates to termination inside one
+    ``lax.while_loop``.  All four are pure and jittable; ``state`` is an
+    :class:`LBFGSState` (or the L-BFGS-B equivalent) pytree.
+    """
+
+    init: Callable
+    step: Callable
+    finalize: Callable
+    run: Callable
+
+
+def solver(fun: Optional[Callable] = None,
+           params: LBFGSParams = LBFGSParams(),
+           *,
+           fun_and_grad=None,
+           line_search="nocedalwright",
+           axis_name: Optional[str] = None) -> Solver:
+    """Build the L-BFGS ``init/step/finalize`` triple.
+
+    ``minimize`` is ``finalize(run(init(x0)))``; checkpointed runs call
+    ``step`` (or ``run`` with a bounded ``max_iterations``) and snapshot the
+    state pytree between calls.
     """
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
-    x0 = jnp.asarray(x0)
-    dtype = x0.dtype
-    n = x0.shape[0]
-    m = params.m
     fpast = params.past
-    eps_machine = jnp.finfo(dtype).eps
 
-    fx0, grad0 = fg(x0)
-    gnorm0 = coll.pnorm(grad0, axis_name)
-    ring_len = max(fpast, 1)
-    fx_ring = jnp.zeros((ring_len,), dtype)
-    if fpast > 0:
-        fx_ring = fx_ring.at[0].set(fx0)
+    def init(x0: Array) -> LBFGSState:
+        x0 = jnp.asarray(x0)
+        dtype = x0.dtype
+        n = x0.shape[0]
 
-    # Early exit if x0 is already a minimizer (LBFGS.h:100-103).
-    early = (gnorm0 <= params.epsilon) | \
-        (gnorm0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
+        fx0, grad0 = fg(x0)
+        gnorm0 = coll.pnorm(grad0, axis_name)
+        ring_len = max(fpast, 1)
+        fx_ring = jnp.zeros((ring_len,), dtype)
+        if fpast > 0:
+            fx_ring = fx_ring.at[0].set(fx0)
 
-    drt0 = -grad0
-    step0 = 1.0 / coll.pnorm(drt0, axis_name)
+        # Early exit if x0 is already a minimizer (LBFGS.h:100-103).
+        early = (gnorm0 <= params.epsilon) | \
+            (gnorm0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
 
-    hist0 = hist_ops.init_history(n, m, dtype)
-    if axis_name is not None:
-        # Mark the shard-local history matrices as device-varying for
-        # shard_map's type system (their zeros initializer is invariant but
-        # the loop body writes shard-local s/y rows into them).
-        hist0 = hist0._replace(s=coll.pvary(hist0.s, axis_name),
-                               y=coll.pvary(hist0.y, axis_name))
+        drt0 = -grad0
+        step0 = 1.0 / coll.pnorm(drt0, axis_name)
 
-    init = _Carry(
-        k=jnp.ones((), jnp.int32),
-        x=x0, fx=fx0, grad=grad0, gnorm=gnorm0, drt=drt0, step=step0,
-        hist=hist0,
-        fx_ring=fx_ring,
-        done=early,
-        status=jnp.where(early, jnp.int32(Status.CONVERGED_GRAD),
-                         jnp.int32(Status.RUNNING)),
-        nfev=jnp.ones((), jnp.int32))
+        hist0 = hist_ops.init_history(n, params.m, dtype)
+        if axis_name is not None:
+            # Mark the shard-local history matrices as device-varying for
+            # shard_map's type system (their zeros initializer is invariant
+            # but the loop body writes shard-local s/y rows into them).
+            hist0 = hist0._replace(s=coll.pvary(hist0.s, axis_name),
+                                   y=coll.pvary(hist0.y, axis_name))
 
-    def cond(c: _Carry):
-        return ~c.done
+        return LBFGSState(
+            k=jnp.ones((), jnp.int32),
+            x=x0, fx=fx0, grad=grad0, gnorm=gnorm0, drt=drt0, step=step0,
+            hist=hist0,
+            fx_ring=fx_ring,
+            done=early,
+            status=jnp.where(early, jnp.int32(Status.CONVERGED_GRAD),
+                             jnp.int32(Status.RUNNING)),
+            nfev=jnp.ones((), jnp.int32))
 
-    def body(c: _Carry) -> _Carry:
+    def body(c: LBFGSState) -> LBFGSState:
+        dtype = c.x.dtype
         xp, gradp = c.x, c.grad
         dg = coll.pdot(c.grad, c.drt, axis_name)
 
@@ -156,21 +184,45 @@ def minimize(fun: Optional[Callable] = None,
         # New direction d = -H g (LBFGS.h:165) and step reset (LBFGS.h:168)
         drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name)
 
-        return _Carry(
+        return LBFGSState(
             k=jnp.where(done, c.k, c.k + 1),
             x=ls.x, fx=ls.fx, grad=ls.grad, gnorm=gnorm, drt=drt,
             step=jnp.ones((), dtype), hist=hist, fx_ring=fx_ring,
             done=done, status=status, nfev=nfev)
 
-    def masked_body(c: _Carry) -> _Carry:
-        # Freeze finished instances so vmap-ing the whole solve is exact.
+    def step(c: LBFGSState) -> LBFGSState:
+        # Freeze finished instances so vmap-ing a whole solve is exact and
+        # a step on a done state is a no-op.
         return tree_select(c.done, c, body(c))
 
-    out = lax.while_loop(cond, masked_body, init)
+    def run(c: LBFGSState) -> LBFGSState:
+        return lax.while_loop(lambda s: ~s.done, step, c)
 
-    return SolveResult(x=out.x, fx=out.fx, grad=out.grad, gnorm=out.gnorm,
-                       niter=out.k, nfev=out.nfev, status=out.status,
-                       history=out.hist)
+    def finalize(c: LBFGSState) -> SolveResult:
+        return SolveResult(x=c.x, fx=c.fx, grad=c.grad, gnorm=c.gnorm,
+                           niter=c.k, nfev=c.nfev, status=c.status,
+                           history=c.hist)
+
+    return Solver(init=init, step=step, finalize=finalize, run=run)
+
+
+def minimize(fun: Optional[Callable] = None,
+             x0: Array = None,
+             params: LBFGSParams = LBFGSParams(),
+             *,
+             fun_and_grad=None,
+             line_search="nocedalwright",
+             axis_name: Optional[str] = None) -> SolveResult:
+    """Minimize ``fun`` from ``x0`` with L-BFGS.
+
+    Mirrors ``LBFGSSolver::minimize`` (LBFGS.h:79-173).  ``line_search``
+    defaults to Nocedal-Wright as in the reference (LBFGS.h:21).  Under
+    ``shard_map`` pass the mesh ``axis_name``; every global reduction then
+    becomes one collective.
+    """
+    s = solver(fun, params, fun_and_grad=fun_and_grad,
+               line_search=line_search, axis_name=axis_name)
+    return s.finalize(s.run(s.init(x0)))
 
 
 def final_approx_hessian(result: SolveResult) -> Array:

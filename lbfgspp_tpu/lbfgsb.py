@@ -64,7 +64,10 @@ def max_step_size(x: Array, drt: Array, lb: Array, ub: Array,
     return coll.pmin(jnp.min(per), axis_name)
 
 
-class _Carry(NamedTuple):
+class LBFGSBState(NamedTuple):
+    """Full L-BFGS-B solver state — the ``lax.while_loop`` carry; an
+    explicit pytree, so checkpoint = serialize, resume = pass it back."""
+
     k: Array
     x: Array
     fx: Array
@@ -79,32 +82,54 @@ class _Carry(NamedTuple):
     nfev: Array
 
 
-def minimize(fun: Optional[Callable] = None,
-             x0: Array = None,
-             lb: Array = None,
-             ub: Array = None,
-             params: LBFGSBParams = LBFGSBParams(),
-             *,
-             fun_and_grad=None,
-             line_search="morethuente",
-             axis_name: Optional[str] = None) -> SolveResult:
-    """Minimize ``fun`` over the box ``[lb, ub]`` from ``x0`` with L-BFGS-B.
+# Backwards-compatible private alias
+_Carry = LBFGSBState
 
-    Mirrors ``LBFGSBSolver::minimize`` (LBFGSB.h:117-262).  ``line_search``
-    defaults to Moré-Thuente as in the reference (LBFGSB.h:22) — it is the
-    only search honoring ``step_max``.  ``lb``/``ub`` entries may be
-    ``+/-inf``, and ``lb[i] == ub[i]`` pins a variable (Cauchy.h:113-114).
-    """
+
+def solver(fun: Optional[Callable] = None,
+           lb: Array = None,
+           ub: Array = None,
+           params: LBFGSBParams = LBFGSBParams(),
+           *,
+           fun_and_grad=None,
+           line_search="morethuente",
+           axis_name: Optional[str] = None):
+    """Build the L-BFGS-B ``init/step/finalize`` triple (see
+    :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over."""
+    from .lbfgs import Solver
+
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
-    x0 = jnp.asarray(x0)
+
+    def init(x0: Array) -> LBFGSBState:
+        x0 = jnp.asarray(x0)
+        dtype = x0.dtype
+        lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), x0.shape)
+        ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), x0.shape)
+        return _init(fg, x0, lbb, ubb, params, axis_name)
+
+    def step(c: LBFGSBState) -> LBFGSBState:
+        dtype = c.x.dtype
+        lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), c.x.shape)
+        ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), c.x.shape)
+        return tree_select(c.done, c,
+                           _body(fg, search, c, lbb, ubb, params, axis_name))
+
+    def run(c: LBFGSBState) -> LBFGSBState:
+        return lax.while_loop(lambda s: ~s.done, step, c)
+
+    def finalize(c: LBFGSBState) -> SolveResult:
+        return SolveResult(x=c.x, fx=c.fx, grad=c.grad, gnorm=c.projgnorm,
+                           niter=c.k, nfev=c.nfev, status=c.status,
+                           history=c.hist)
+
+    return Solver(init=init, step=step, finalize=finalize, run=run)
+
+
+def _init(fg, x0, lb, ub, params, axis_name):
     dtype = x0.dtype
     n = x0.shape[0]
-    m = params.m
     fpast = params.past
-    eps_machine = jnp.finfo(dtype).eps
-    lb = jnp.broadcast_to(jnp.asarray(lb, dtype), x0.shape)
-    ub = jnp.broadcast_to(jnp.asarray(ub, dtype), x0.shape)
 
     # Project the initial point into the box (LBFGSB.h:128).
     x0 = force_bounds(x0, lb, ub)
@@ -120,14 +145,18 @@ def minimize(fun: Optional[Callable] = None,
     early = (pg0 <= params.epsilon) | \
         (pg0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
 
-    hist0 = bmat.init_b_history(n, m, dtype)
+    hist0 = bmat.init_b_history(n, params.m, dtype)
+    if axis_name is not None:
+        base = hist0.base._replace(s=coll.pvary(hist0.base.s, axis_name),
+                                   y=coll.pvary(hist0.base.y, axis_name))
+        hist0 = hist0._replace(base=base)
     cp0 = cauchy.cauchy_point(hist0, x0, grad0, lb, ub, axis_name)
     d0 = cp0.xcp - x0
     d0_norm = coll.pnorm(d0, axis_name)
     drt0 = jnp.where(d0_norm > 0.0, d0 / jnp.where(d0_norm > 0.0, d0_norm,
                                                    1.0), d0)
 
-    init = _Carry(
+    return LBFGSBState(
         k=jnp.ones((), jnp.int32),
         x=x0, fx=fx0, grad=grad0, projgnorm=pg0, drt=drt0, xcp=cp0.xcp,
         hist=hist0, fx_ring=fx_ring,
@@ -136,84 +165,98 @@ def minimize(fun: Optional[Callable] = None,
                          jnp.int32(Status.RUNNING)),
         nfev=jnp.ones((), jnp.int32))
 
-    def cond(c: _Carry):
-        return ~c.done
 
-    def body(c: _Carry) -> _Carry:
-        xp, gradp = c.x, c.grad
-        dg = coll.pdot(c.grad, c.drt, axis_name)
-        step_max = max_step_size(c.x, c.drt, lb, ub, axis_name)
+def _body(fg, search, c, lb, ub, params, axis_name):
+    """One outer iteration (LBFGSB.h:171-258)."""
+    dtype = c.x.dtype
+    n = c.x.shape[0]
+    fpast = params.past
+    xp, gradp = c.x, c.grad
+    dg = coll.pdot(c.grad, c.drt, axis_name)
+    step_max = max_step_size(c.x, c.drt, lb, ub, axis_name)
 
-        # Pathological-direction rescue (LBFGSB.h:181-197).
-        patho = (dg >= 0.0) | (step_max <= params.min_step)
-        drt = jnp.where(patho, c.xcp - c.x, c.drt)
-        hist = tree_select(patho, bmat.init_b_history(n, m, dtype), c.hist)
-        dg = jnp.where(patho, coll.pdot(c.grad, drt, axis_name), dg)
-        step_max = jnp.where(
-            patho, max_step_size(c.x, drt, lb, ub, axis_name), step_max)
+    # Pathological-direction rescue (LBFGSB.h:181-197).
+    patho = (dg >= 0.0) | (step_max <= params.min_step)
+    drt = jnp.where(patho, c.xcp - c.x, c.drt)
+    hist = tree_select(patho, bmat.init_b_history(n, params.m, dtype),
+                       c.hist)
+    dg = jnp.where(patho, coll.pdot(c.grad, drt, axis_name), dg)
+    step_max = jnp.where(
+        patho, max_step_size(c.x, drt, lb, ub, axis_name), step_max)
 
-        # Line search capped at step_max (LBFGSB.h:200-203).
-        step_max = jnp.minimum(jnp.asarray(params.max_step, dtype), step_max)
-        step0 = jnp.minimum(jnp.ones((), dtype), step_max)
-        ls = search(fg, params, xp, drt, step_max, step0, c.fx, c.grad, dg,
-                    axis_name=axis_name)
-        nfev = c.nfev + ls.nfev
+    # Line search capped at step_max (LBFGSB.h:200-203).
+    step_max = jnp.minimum(jnp.asarray(params.max_step, dtype), step_max)
+    step0 = jnp.minimum(jnp.ones((), dtype), step_max)
+    ls = search(fg, params, xp, drt, step_max, step0, c.fx, c.grad, dg,
+                axis_name=axis_name)
+    nfev = c.nfev + ls.nfev
 
-        projgnorm = proj_grad_norm(ls.x, ls.grad, lb, ub, axis_name)
-        ls_fail = ls.status != jnp.int32(Status.RUNNING)
+    projgnorm = proj_grad_norm(ls.x, ls.grad, lb, ub, axis_name)
+    ls_fail = ls.status != jnp.int32(Status.RUNNING)
 
-        # Convergence tests (LBFGSB.h:212-230).
-        conv_grad = (projgnorm <= params.epsilon) | \
-            (projgnorm <= params.epsilon_rel * coll.pnorm(ls.x, axis_name))
-        if fpast > 0:
-            fxd = c.fx_ring[c.k % fpast]
-            conv_past = (c.k >= fpast) & \
-                (jnp.abs(fxd - ls.fx) <= params.delta *
-                 jnp.maximum(jnp.maximum(jnp.abs(ls.fx), jnp.abs(fxd)), 1.0))
-            fx_ring = c.fx_ring.at[c.k % fpast].set(ls.fx)
-        else:
-            conv_past = jnp.zeros((), bool)
-            fx_ring = c.fx_ring
-        max_iter = (params.max_iterations != 0) & \
-            (c.k >= params.max_iterations)
+    # Convergence tests (LBFGSB.h:212-230).
+    conv_grad = (projgnorm <= params.epsilon) | \
+        (projgnorm <= params.epsilon_rel * coll.pnorm(ls.x, axis_name))
+    if fpast > 0:
+        fxd = c.fx_ring[c.k % fpast]
+        conv_past = (c.k >= fpast) & \
+            (jnp.abs(fxd - ls.fx) <= params.delta *
+             jnp.maximum(jnp.maximum(jnp.abs(ls.fx), jnp.abs(fxd)), 1.0))
+        fx_ring = c.fx_ring.at[c.k % fpast].set(ls.fx)
+    else:
+        conv_past = jnp.zeros((), bool)
+        fx_ring = c.fx_ring
+    max_iter = (params.max_iterations != 0) & \
+        (c.k >= params.max_iterations)
 
-        done = ls_fail | conv_grad | conv_past | max_iter
-        status = jnp.where(
-            ls_fail, ls.status,
-            jnp.where(conv_grad, jnp.int32(Status.CONVERGED_GRAD),
-                      jnp.where(conv_past, jnp.int32(Status.CONVERGED_DELTA),
-                                jnp.where(max_iter,
-                                          jnp.int32(Status.MAX_ITERATIONS),
-                                          jnp.int32(Status.RUNNING)))))
+    done = ls_fail | conv_grad | conv_past | max_iter
+    status = jnp.where(
+        ls_fail, ls.status,
+        jnp.where(conv_grad, jnp.int32(Status.CONVERGED_GRAD),
+                  jnp.where(conv_past, jnp.int32(Status.CONVERGED_DELTA),
+                            jnp.where(max_iter,
+                                      jnp.int32(Status.MAX_ITERATIONS),
+                                      jnp.int32(Status.RUNNING)))))
 
-        # History update with curvature gate (LBFGSB.h:232-238); gate and
-        # all incremental middle-matrix products share one fused collective.
-        s = ls.x - xp
-        y = ls.grad - gradp
-        hist, _ = bmat.update_history_b(hist, s, y, ~done, axis_name)
+    # History update with curvature gate (LBFGSB.h:232-238); gate and
+    # all incremental middle-matrix products share one fused collective.
+    s = ls.x - xp
+    y = ls.grad - gradp
+    hist, _ = bmat.update_history_b(hist, s, y, ~done, axis_name)
 
-        # Projection, GCP and subspace phase (LBFGSB.h:240-250).  On the
-        # terminating iteration the reference returns the line-search x
-        # before re-projecting, so keep ls.x when done.
-        x_next = force_bounds(ls.x, lb, ub)
-        cp = cauchy.cauchy_point(hist, x_next, ls.grad, lb, ub, axis_name)
-        drt_next = subspace.subspace_minimize(
-            hist, x_next, cp.xcp, ls.grad, lb, ub, cp.vecc,
-            cp.newact_mask, cp.free_mask, params.max_submin, axis_name)
+    # Projection, GCP and subspace phase (LBFGSB.h:240-250).  On the
+    # terminating iteration the reference returns the line-search x
+    # before re-projecting, so keep ls.x when done.
+    x_next = force_bounds(ls.x, lb, ub)
+    cp = cauchy.cauchy_point(hist, x_next, ls.grad, lb, ub, axis_name)
+    drt_next = subspace.subspace_minimize(
+        hist, x_next, cp.xcp, ls.grad, lb, ub, cp.vecc,
+        cp.newact_mask, cp.free_mask, params.max_submin, axis_name)
 
-        return _Carry(
-            k=jnp.where(done, c.k, c.k + 1),
-            x=jnp.where(done, ls.x, x_next),
-            fx=ls.fx, grad=ls.grad, projgnorm=projgnorm,
-            drt=drt_next, xcp=cp.xcp, hist=hist, fx_ring=fx_ring,
-            done=done, status=status, nfev=nfev)
+    return LBFGSBState(
+        k=jnp.where(done, c.k, c.k + 1),
+        x=jnp.where(done, ls.x, x_next),
+        fx=ls.fx, grad=ls.grad, projgnorm=projgnorm,
+        drt=drt_next, xcp=cp.xcp, hist=hist, fx_ring=fx_ring,
+        done=done, status=status, nfev=nfev)
 
-    def masked_body(c: _Carry) -> _Carry:
-        # Freeze finished instances so vmap-ing the whole solve is exact.
-        return tree_select(c.done, c, body(c))
 
-    out = lax.while_loop(cond, masked_body, init)
+def minimize(fun: Optional[Callable] = None,
+             x0: Array = None,
+             lb: Array = None,
+             ub: Array = None,
+             params: LBFGSBParams = LBFGSBParams(),
+             *,
+             fun_and_grad=None,
+             line_search="morethuente",
+             axis_name: Optional[str] = None) -> SolveResult:
+    """Minimize ``fun`` over the box ``[lb, ub]`` from ``x0`` with L-BFGS-B.
 
-    return SolveResult(x=out.x, fx=out.fx, grad=out.grad,
-                       gnorm=out.projgnorm, niter=out.k, nfev=out.nfev,
-                       status=out.status, history=out.hist)
+    Mirrors ``LBFGSBSolver::minimize`` (LBFGSB.h:117-262).  ``line_search``
+    defaults to More-Thuente as in the reference (LBFGSB.h:22) — it is the
+    only search honoring ``step_max``.  ``lb``/``ub`` entries may be
+    ``+/-inf``, and ``lb[i] == ub[i]`` pins a variable (Cauchy.h:113-114).
+    """
+    s = solver(fun, lb, ub, params, fun_and_grad=fun_and_grad,
+               line_search=line_search, axis_name=axis_name)
+    return s.finalize(s.run(s.init(x0)))

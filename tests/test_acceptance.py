@@ -1,0 +1,63 @@
+"""Reference acceptance suite (SURVEY.md §4, §6).
+
+The reference's quality gates are its example programs; these tests mirror
+them with the same settings and tolerances:
+
+* the 1024-random-start bracketing sweep asserting max|x_i - 1| <= 1e-4 on
+  EVERY run (example-rosenbrock-bracketing.cpp:40-55) — here one vmap;
+* the 4-way line-search comparison with per-run validation
+  (example-rosenbrock-comparison.cpp:53-96);
+* the README quick-start anchors: Rosenbrock n=10, eps=1e-6, max_iter=100
+  converges to x = 1 with f(x) ~ 1e-14 (README.md:88-94 reports 23
+  iterations / 1.87948e-19 with Eigen's summation order; the transliterated
+  NumPy oracle reproduces OUR 22 exactly, and both trajectories satisfy
+  every reference tolerance).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lbfgspp_tpu import LBFGSParams, minimize
+from lbfgspp_tpu.utils.objectives import rosenbrock_fg
+
+SWEEP_PARAMS = LBFGSParams(epsilon=1e-6, max_iterations=400,
+                           max_linesearch=256)
+
+
+@pytest.mark.parametrize("n", [2, 6, 12, 16])
+def test_multistart_bracketing_sweep(n):
+    """1024 uniform-random starts, every run within 1e-4 of the optimum."""
+    solve = jax.jit(jax.vmap(
+        lambda x0: minimize(fun_and_grad=rosenbrock_fg, x0=x0,
+                            params=SWEEP_PARAMS, line_search="bracketing")))
+    rng = np.random.default_rng(n)
+    res = solve(jnp.asarray(rng.uniform(-1.0, 1.0, (1024, n))))
+    err = np.max(np.abs(np.asarray(res.x) - 1.0), axis=1)
+    assert np.all(err <= 1e-4)
+
+
+@pytest.mark.parametrize("method", ["backtracking", "bracketing",
+                                    "nocedalwright", "morethuente"])
+def test_comparison_harness_validates(method):
+    """All four line searches solve the n=10 multistart batch."""
+    n, nstarts = 10, 256
+    solve = jax.jit(jax.vmap(
+        lambda x0: minimize(fun_and_grad=rosenbrock_fg, x0=x0,
+                            params=SWEEP_PARAMS, line_search=method)))
+    rng = np.random.default_rng(99)
+    res = solve(jnp.asarray(rng.uniform(-1.0, 1.0, (nstarts, n))))
+    err = np.max(np.abs(np.asarray(res.x) - 1.0), axis=1)
+    assert np.all(err <= 1e-4)
+    # nfev accounting is consistent: at least one eval per iteration + 1.
+    assert np.all(np.asarray(res.nfev) > np.asarray(res.niter))
+
+
+def test_readme_anchor():
+    """README quick-start: n=10, eps=1e-6, max_iter=100."""
+    res = minimize(fun_and_grad=rosenbrock_fg, x0=jnp.zeros((10,)),
+                   params=LBFGSParams(epsilon=1e-6, max_iterations=100))
+    assert int(res.niter) == 22     # oracle-exact; reference prints 23
+    assert float(res.fx) < 1e-12    # reference: 1.87948e-19
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
