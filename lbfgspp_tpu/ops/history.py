@@ -206,48 +206,54 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
     m = hist.m
     dtype = v.dtype
     a = jnp.asarray(a, dtype)
-
-    stacked = jnp.concatenate([hist.s, hist.y], axis=0)     # [2m, n]
-    sv_yv = coll.pmatvec(stacked, v, axis_name)             # [2m]
-    sv, yv = sv_yv[:m], sv_yv[m:]
-
-    # Age ordering as a one-hot permutation (matmuls, not gathers — batched
-    # gathers/scatters lower poorly on TPU under vmap).
-    slots, valid = _age_slots(hist)
-    perm = (slots[:, None] == jnp.arange(m)[None, :]).astype(dtype)  # [m, m]
     hp = lax.Precision.HIGHEST
-    sv_o = perm @ sv
-    yv_o = perm @ yv
-    ys_o = jnp.where(valid, perm @ hist.ys, 1.0)
-    sy_oo = jnp.einsum("ti,ij,uj->tu", perm, hist.sy, perm, precision=hp)
-    yy_oo = jnp.einsum("ti,ij,uj->tu", perm, hist.yy, perm, precision=hp)
 
-    # Loop 1 (newest -> oldest): scalar recursion for alpha.
-    alphas = []
-    for t in range(m):
-        acc = a * sv_o[t]
-        for u in range(t):
-            acc = acc - alphas[u] * sy_oo[t, u]
-        alpha = jnp.where(valid[t], acc / ys_o[t], 0.0)
-        alphas.append(alpha)
-    alpha_o = jnp.stack(alphas)
+    sv_local = jnp.einsum("mn,n->m", hist.s, v, precision=hp)
+    yv_local = jnp.einsum("mn,n->m", hist.y, v, precision=hp)
+    if axis_name is not None:
+        # Both [m] partials ride one length-2m psum.
+        red = lax.psum(jnp.concatenate([sv_local, yv_local]), axis_name)
+        sv, yv = red[:m], red[m:]
+    else:
+        sv, yv = sv_local, yv_local
 
-    # Loop 2 (oldest -> newest): scalar recursion for beta.
+    # Work directly in slot space: slot j is "newer than" slot i iff its
+    # ring distance d = (ptr - 1 - slot) mod m is smaller.  The triangular
+    # alpha/beta substitutions become m masked Jacobi sweeps — exact for a
+    # triangular system after m sweeps, and free of the permutation
+    # gathers/matmuls that dominate the batched op cost.
+    slot_ids = jnp.arange(m)
+    dist = (hist.ptr - 1 - slot_ids) % m                    # [m]
+    valid = dist < hist.ncorr
+    newer = (dist[None, :] < dist[:, None]) & valid[:, None] & valid[None, :]
+    ys_safe = jnp.where(valid, hist.ys, 1.0)
+    vmaskf = valid.astype(dtype)
+
+    # Loop 1 (newest -> oldest): alpha_i = (a sv_i - sum_{j newer} sy[i, j]
+    # alpha_j) / ys_i, via m sweeps of the masked recursion.
+    msy = jnp.where(newer, hist.sy, 0.0)                    # [m, m]
+    rhs_a = a * sv
+    alpha = jnp.zeros((m,), dtype)
+    for _ in range(m):
+        alpha = vmaskf * (rhs_a - msy @ alpha) / ys_safe
+
+    # Loop 2 (oldest -> newest): beta_i = (base_i + sum_{j older} sy[j, i]
+    # (alpha_j - beta_j)) / ys_i with base = (a yv - yy alpha) / theta.
     theta = hist.theta
-    base_o = (a * yv_o - yy_oo @ alpha_o) / theta
-    betas = [None] * m
-    for r in range(m - 1, -1, -1):      # r = m-1 is the oldest age step
-        acc = base_o[r]
-        for rp in range(m - 1, r, -1):  # ages processed before r in loop 2
-            acc = acc + (alphas[rp] - betas[rp]) * sy_oo[rp, r]
-        betas[r] = jnp.where(valid[r], acc / ys_o[r], 0.0)
-    beta_o = jnp.stack(betas)
+    base = (a * yv - hist.yy @ alpha) / theta
+    older = (dist[None, :] > dist[:, None]) & valid[:, None] & valid[None, :]
+    msyT = jnp.where(older, hist.sy.T, 0.0)
+    beta = jnp.zeros((m,), dtype)
+    for _ in range(m):
+        beta = vmaskf * (base + msyT @ (alpha - beta)) / ys_safe
 
-    # Final combination: one [n, 2m] matvec, local (coefficients replicated).
-    w_s = perm.T @ jnp.where(valid, alpha_o - beta_o, 0.0)
-    w_y = perm.T @ jnp.where(valid, -alpha_o / theta, 0.0)
-    w = jnp.concatenate([w_s, w_y])
-    return (a / theta) * v + jnp.einsum("kn,k->n", stacked, w, precision=hp)
+    # Final combination: two [m, n] matvecs, local (coefficients
+    # replicated); s/y are read straight from the history rows (no concat).
+    w_s = jnp.where(valid, alpha - beta, 0.0)
+    w_y = jnp.where(valid, -alpha / theta, 0.0)
+    return ((a / theta) * v
+            + jnp.einsum("m,mn->n", w_s, hist.s, precision=hp)
+            + jnp.einsum("m,mn->n", w_y, hist.y, precision=hp))
 
 
 def apply_hv_reference(hist: LBFGSHistory, v: Array, a,
