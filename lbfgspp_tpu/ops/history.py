@@ -203,6 +203,13 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
     O(m^2) scalar recursion replaces the 2m-collective sequential chain —
     identical math, reassociated summation.
     """
+    # Batched on-chip solves route through the Pallas-fused kernel (one HBM
+    # pass over s/y); single/sharded/f64 solves use the XLA path below.
+    if isinstance(a, (int, float)):
+        from . import fused
+        if fused.fused_available(v.dtype, axis_name):
+            return fused.apply_hv_fused(hist, v, float(a))
+
     m = hist.m
     dtype = v.dtype
     a = jnp.asarray(a, dtype)
