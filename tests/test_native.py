@@ -1,0 +1,110 @@
+"""Native CPU solver core (lbfgspp_tpu/native) parity tests.
+
+The C++ core must match the NumPy trajectory oracle (and hence the JAX
+solver) iteration-for-iteration in f64 across all four line searches.
+"""
+
+import numpy as np
+import pytest
+
+from lbfgspp_tpu import LBFGSParams, native
+import oracle
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native build: {native.build_error()}")
+
+
+def np_rosenbrock(x):
+    xe, xo = x[0::2], x[1::2]
+    t1, t2 = 1.0 - xe, 10.0 * (xo - xe * xe)
+    g = np.zeros_like(x)
+    g[1::2] = 20.0 * t2
+    g[0::2] = -2.0 * (xe * g[1::2] + t1)
+    return float(np.sum(t1 * t1 + t2 * t2)), g
+
+
+@pytest.mark.parametrize("ls", ["backtracking", "bracketing",
+                                "nocedalwright", "morethuente"])
+@pytest.mark.parametrize("n", [2, 10])
+def test_matches_oracle_exactly_short_horizon(ls, n):
+    """Iteration-exact parity over a 25-iteration window.
+
+    Long chaotic Rosenbrock runs amplify the summation-order difference
+    between the C++ loops and numpy's BLAS dots, so exactness is asserted
+    on a bounded horizon and full runs are checked for convergence below.
+    """
+    params = LBFGSParams(epsilon=1e-6, max_iterations=25,
+                         max_linesearch=60)
+    pdict = oracle.default_params(epsilon=1e-6, max_iterations=25,
+                                  max_linesearch=60)
+    rng = np.random.default_rng(n)
+    for trial in range(5):
+        x0 = rng.uniform(-1, 1, n)
+        res = native.minimize("rosenbrock", x0, params, line_search=ls)
+        out = oracle.lbfgs_minimize(np_rosenbrock, x0, pdict, ls)
+        assert res.niter == out["niter"], (ls, n, trial)
+        assert res.nfev == out["nfev"], (ls, n, trial)
+        np.testing.assert_allclose(res.x, out["x"], rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("ls", ["backtracking", "bracketing",
+                                "nocedalwright", "morethuente"])
+def test_full_runs_converge(ls):
+    """Full-horizon runs hit the reference multistart tolerance."""
+    params = LBFGSParams(epsilon=1e-6, max_iterations=400,
+                         max_linesearch=256)
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        x0 = rng.uniform(-1, 1, 10)
+        res = native.minimize("rosenbrock", x0, params, line_search=ls)
+        assert np.max(np.abs(res.x - 1.0)) <= 1e-4, (ls, trial, res.status)
+
+
+def test_callback_objective_matches_builtin():
+    params = LBFGSParams(epsilon=1e-6, max_iterations=100)
+    x0 = np.zeros(10)
+    r1 = native.minimize("rosenbrock", x0, params)
+    r2 = native.minimize(np_rosenbrock, x0, params)
+    assert r1.niter == r2.niter == 22
+    np.testing.assert_allclose(r1.x, r2.x, rtol=1e-12)
+
+
+def test_matches_jax_solver_exactly():
+    import jax.numpy as jnp
+    from lbfgspp_tpu import minimize
+    from lbfgspp_tpu.utils.objectives import rosenbrock_fg
+
+    params = LBFGSParams(epsilon=1e-6, max_iterations=100)
+    res_j = minimize(fun_and_grad=rosenbrock_fg, x0=jnp.zeros(10),
+                     params=params)
+    res_n = native.minimize("rosenbrock", np.zeros(10), params)
+    assert res_n.niter == int(res_j.niter)
+    assert res_n.status == int(res_j.status)
+    np.testing.assert_allclose(res_n.x, np.asarray(res_j.x), rtol=1e-12)
+    np.testing.assert_allclose(res_n.fx, float(res_j.fx), rtol=1e-10,
+                               atol=1e-18)
+
+
+def test_quadratic_builtin():
+    params = LBFGSParams(epsilon=1e-8)
+    res = native.minimize("quadratic", np.zeros(12), params)
+    np.testing.assert_allclose(res.x, np.arange(12.0), atol=1e-6)
+    assert res.status in (1, 2)
+
+
+def test_status_codes():
+    # An always-NaN objective drives backtracking to its failure statuses
+    # (max_linesearch / step_too_small), surfaced as codes, not crashes.
+    def bad(x):
+        return float("nan"), np.ones_like(x)
+
+    res = native.minimize(bad, np.ones(4),
+                          LBFGSParams(max_iterations=50),
+                          line_search="backtracking")
+    assert res.status in (12, 13)
+
+
+def test_does_not_mutate_x0():
+    x0 = np.zeros(10)
+    native.minimize("rosenbrock", x0, LBFGSParams(max_iterations=50))
+    np.testing.assert_array_equal(x0, np.zeros(10))
