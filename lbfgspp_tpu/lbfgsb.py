@@ -98,6 +98,16 @@ def solver(fun: Optional[Callable] = None,
     :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over."""
     from .lbfgs import Solver
 
+    if axis_name is not None:
+        # The GCP breakpoint walk sorts over the whole coordinate vector
+        # (Cauchy.h:131-133); a feature-sharded variant needs a distributed
+        # sort and is not implemented.  Box problems scale via vmap; the
+        # sharded feature axis serves the unconstrained solver.
+        raise NotImplementedError(
+            "sharded L-BFGS-B is not supported (the generalized-Cauchy-point "
+            "sort needs the full vector); use vmap for batch scaling or the "
+            "unconstrained sharded solver")
+
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
 
