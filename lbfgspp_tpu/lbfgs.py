@@ -35,7 +35,7 @@ from .ops import history as hist_ops
 from .linesearch import get_line_search
 from .parallel import collectives as coll
 from .params import LBFGSParams
-from .types import (SolveResult, Status, make_fun_and_grad, tree_select)
+from .types import (SolveResult, Status, make_fun_and_grad, freeze_when)
 
 Array = jax.Array
 
@@ -193,7 +193,7 @@ def solver(fun: Optional[Callable] = None,
     def step(c: LBFGSState) -> LBFGSState:
         # Freeze finished instances so vmap-ing a whole solve is exact and
         # a step on a done state is a no-op.
-        return tree_select(c.done, c, body(c))
+        return freeze_when(c.done, c, body)
 
     def run(c: LBFGSState) -> LBFGSState:
         return lax.while_loop(lambda s: ~s.done, step, c)

@@ -37,7 +37,8 @@ from .linesearch import get_line_search
 from .ops import bmat, cauchy, subspace
 from .parallel import collectives as coll
 from .params import LBFGSBParams
-from .types import SolveResult, Status, make_fun_and_grad, tree_select
+from .types import (SolveResult, Status, make_fun_and_grad, tree_select,
+                    freeze_when)
 
 Array = jax.Array
 
@@ -122,8 +123,9 @@ def solver(fun: Optional[Callable] = None,
         dtype = c.x.dtype
         lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), c.x.shape)
         ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), c.x.shape)
-        return tree_select(c.done, c,
-                           _body(fg, search, c, lbb, ubb, params, axis_name))
+        return freeze_when(
+            c.done, c,
+            lambda s: _body(fg, search, s, lbb, ubb, params, axis_name))
 
     def run(c: LBFGSBState) -> LBFGSBState:
         return lax.while_loop(lambda s: ~s.done, step, c)

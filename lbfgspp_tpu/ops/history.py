@@ -111,12 +111,40 @@ def correction_products(hist: LBFGSHistory, s: Array, y: Array,
     return yx, sx, (sy_new, yy_new, ss_new)
 
 
+@jax.custom_batching.custom_vmap
+def _masked_row_write(buf: Array, row: Array, loc: Array,
+                      accept: Array) -> Array:
+    """``buf[loc] = row`` when ``accept``, batching-aware.
+
+    Unbatched (single / sharded solve): a ``lax.cond`` around one dynamic
+    row update — O(n) traffic instead of rewriting the whole [m, n] buffer.
+    Batched (vmap): per-lane ``loc`` would make the row update a batched
+    scatter, which lowers terribly on TPU, so the vmap rule uses a
+    broadcast select over the slot axis instead."""
+    return lax.cond(
+        accept,
+        lambda b: lax.dynamic_update_index_in_dim(b, row, loc, 0),
+        lambda b: b, buf)
+
+
+@_masked_row_write.def_vmap
+def _masked_row_write_vmap(axis_size, in_batched, buf, row, loc, accept):
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x[None],
+                                                  (axis_size,) + x.shape)
+    buf, row, loc, accept = (bc(x, b) for x, b in
+                             zip((buf, row, loc, accept), in_batched))
+    m = buf.shape[1]
+    write = accept[:, None] & (jnp.arange(m)[None, :] == loc[:, None])
+    return jnp.where(write[:, :, None], row[:, None, :], buf), True
+
+
 def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
                       yx: Array, sx: Array, pair) -> LBFGSHistory:
     """Masked ring-buffer write given precomputed products.
 
-    All writes are broadcast selects on a ``slot == loc`` mask — no
-    dynamic-update/scatter ops, which lower poorly on TPU under ``vmap``.
+    The O(m n) s/y rows go through the batching-aware row writer; the tiny
+    [m]/[m, m] state uses broadcast selects on a ``slot == loc`` mask.
     """
     m = hist.m
     loc = hist.ptr % m
@@ -125,8 +153,8 @@ def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
     is_loc = slots == loc
     write = accept & is_loc                      # [m] row-write mask
 
-    new_s = jnp.where(write[:, None], s[None, :], hist.s)
-    new_y = jnp.where(write[:, None], y[None, :], hist.y)
+    new_s = _masked_row_write(hist.s, s, loc, accept)
+    new_y = _masked_row_write(hist.y, y, loc, accept)
     new_ys = jnp.where(write, ys, hist.ys)
     new_theta = jnp.where(accept, yy_new / ys, hist.theta)
     new_ncorr = jnp.where(accept, jnp.minimum(hist.ncorr + 1, m), hist.ncorr)

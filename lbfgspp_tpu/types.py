@@ -113,3 +113,14 @@ def tree_select(pred: Array, on_true, on_false):
     finished instances pass through unchanged while active ones update.
     """
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def freeze_when(pred: Array, state, update_fn):
+    """``update_fn(state)`` unless ``pred`` — a ``lax.cond``.
+
+    Single-instance solves take a real branch (no full-carry select copy —
+    material at large n); under ``vmap`` the cond lowers to running both
+    branches with an elementwise select, which is exactly the frozen-carry
+    masking that keeps finished batch instances untouched."""
+    from jax import lax
+    return lax.cond(pred, lambda s: s, update_fn, state)
