@@ -61,3 +61,29 @@ def test_readme_anchor():
     assert int(res.niter) == 22     # oracle-exact; reference prints 23
     assert float(res.fx) < 1e-12    # reference: 1.87948e-19
     np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_unconstrained_matches_scipy_quality(seed):
+    """Converged objective at least as good as scipy's L-BFGS-B
+    (unconstrained mode) on random ill-conditioned quadratics."""
+    from scipy.optimize import minimize as sp_min
+
+    rng = np.random.default_rng(200 + seed)
+    n = 20
+    a_half = rng.standard_normal((n, n)) / np.sqrt(n)
+    a = a_half @ a_half.T + 0.01 * np.eye(n)
+    b = rng.standard_normal(n)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+
+    def fg(x):
+        ax = aj @ x
+        return 0.5 * x @ ax + bj @ x, ax + bj
+
+    x0 = rng.standard_normal(n)
+    res = minimize(fun_and_grad=fg, x0=jnp.asarray(x0),
+                   params=LBFGSParams(epsilon=1e-8, epsilon_rel=0.0,
+                                      max_iterations=500))
+    out = sp_min(lambda x: (0.5 * x @ a @ x + b @ x, a @ x + b), x0,
+                 jac=True, method="L-BFGS-B")
+    assert float(res.fx) <= out.fun + 1e-8

@@ -1,0 +1,73 @@
+"""Tests for the batch convenience API and checkpoint file helpers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lbfgspp_tpu import (LBFGSParams, LBFGSBParams, minimize,
+                         minimize_batched, minimize_b_batched, solver)
+from lbfgspp_tpu.utils.checkpoint import save_state, load_state
+from lbfgspp_tpu.utils.objectives import rosenbrock, rosenbrock_fg
+
+
+def test_minimize_batched_matches_loop():
+    n, batch = 8, 6
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (batch, n)))
+    p = LBFGSParams(epsilon=1e-6, max_iterations=200)
+    res = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p)
+    assert res.x.shape == (batch, n)
+    # vmap reassociates reductions, so chaotic Rosenbrock trajectories
+    # drift at roundoff level vs the single solves; both converge.
+    assert np.max(np.abs(np.asarray(res.x) - 1.0)) <= 1e-4
+    for i in range(batch):
+        single = minimize(fun_and_grad=rosenbrock_fg, x0=x0s[i], params=p)
+        assert abs(int(res.niter[i]) - int(single.niter)) <= 2
+        np.testing.assert_allclose(np.asarray(res.x[i]),
+                                   np.asarray(single.x), atol=1e-4)
+
+
+def test_minimize_b_batched_shared_and_per_instance_bounds():
+    n, batch = 6, 4
+    rng = np.random.default_rng(1)
+    d = rng.standard_normal((batch, n)) * 2.0
+    dj = jnp.asarray(d)
+
+    def fg(x):
+        # closure over the shared batch is fine: vmap maps only x0
+        return jnp.sum((x - 0.0) ** 2), 2.0 * x
+
+    p = LBFGSBParams(epsilon=1e-8, epsilon_rel=0.0)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (batch, n)))
+
+    shared = minimize_b_batched(fun_and_grad=fg, x0s=x0s,
+                                lb=jnp.full((n,), -1.0),
+                                ub=jnp.full((n,), 1.0), params=p)
+    np.testing.assert_allclose(np.asarray(shared.x), 0.0, atol=1e-6)
+
+    lb_pi = jnp.asarray(np.tile(np.linspace(0.1, 0.4, batch)[:, None],
+                                (1, n)))
+    ub_pi = lb_pi + 1.0
+    per = minimize_b_batched(fun_and_grad=fg, x0s=x0s + 0.5,
+                             lb=lb_pi, ub=ub_pi, params=p)
+    # minimum of |x|^2 in [lb, lb+1] with lb > 0 is x = lb per instance
+    np.testing.assert_allclose(np.asarray(per.x), np.asarray(lb_pi),
+                               atol=1e-6)
+
+
+def test_checkpoint_file_roundtrip(tmp_path):
+    p = LBFGSParams(epsilon=1e-6, max_iterations=100)
+    s = solver(rosenbrock, p)
+    state = s.init(jnp.zeros(10))
+    for _ in range(6):
+        state = s.step(state)
+
+    path = str(tmp_path / "state.npz")
+    save_state(path, state)
+    template = s.init(jnp.zeros(10))
+    restored = load_state(path, template)
+
+    ref = s.finalize(s.run(state))
+    got = s.finalize(s.run(restored))
+    assert int(got.niter) == int(ref.niter)
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
