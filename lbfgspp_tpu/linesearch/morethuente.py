@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..parallel import collectives as coll
-from ..types import LineSearchResult, Status, tree_select
+from ..types import LineSearchResult, Status
 
 Array = jax.Array
 
@@ -158,9 +158,8 @@ class _MTCarry(NamedTuple):
     gi_lo: Array
     gi_hi: Array
     psi_lo: Array
-    # Best-so-far (step = i_lo) full state
-    x_lo: Array
-    grad_lo: Array
+    # Best-so-far (step = i_lo) objective state; the point itself is
+    # reconstructed on the exhaustion exit (fg is pure)
     fx_lo: Array
     dg_lo: Array
     # Safeguard status
@@ -218,7 +217,7 @@ def morethuente(fg, param, xp: Array, drt: Array, step_max, step0, fx0: Array,
         fi_lo=jnp.zeros((), dtype), fi_hi=inf,
         gi_lo=(1.0 - ftol) * dg_init, gi_hi=inf,
         psi_lo=jnp.zeros((), dtype),
-        x_lo=xp, grad_lo=grad0, fx_lo=fx_init, dg_lo=dg_init,
+        fx_lo=fx_init, dg_lo=dg_init,
         bracketed=jnp.zeros((), bool), use_smin_sg=step_min > 0.0,
         i_width=inf, i_width_prev=inf,
         shrink_fail=jnp.zeros((), jnp.int32),
@@ -267,76 +266,80 @@ def morethuente(fg, param, xp: Array, drt: Array, step_max, step0, fx0: Array,
         step_c13 = jnp.where(use_sg, sel_sg, sel)
         new_step = jnp.where(in_case_2, step_c2, step_c13)
 
-        # 3-case interval update (:516-559)
+        # 3-case interval update (:516-559), fused with the terminating-
+        # trial freeze (the reference `return`s mid-loop keeping the trial
+        # in x/fx/dg while the search state stays as-is): each field takes
+        # ONE select with a compound predicate instead of the two-layer
+        # update-then-freeze, and the trial point x/grad/fx/dg needs no
+        # select at all (both paths keep the trial values).
+        live = ~done_now
         case1 = psit > c.psi_lo
         case3 = (~case1) & (~in_case_2)
-        # I_hi gets the trial (case 1) or the old lo (case 3), else unchanged
-        i_hi = jnp.where(case1, c.step, jnp.where(case3, c.i_lo, c.i_hi))
-        fi_hi = jnp.where(case1, ft, jnp.where(case3, c.fi_lo, c.fi_hi))
-        gi_hi = jnp.where(case1, gt, jnp.where(case3, c.gi_lo, c.gi_hi))
-        # I_lo gets the trial in cases 2 and 3
-        take_lo = ~case1
+        i_hi = jnp.where(live & case1, c.step,
+                         jnp.where(live & case3, c.i_lo, c.i_hi))
+        fi_hi = jnp.where(live & case1, ft,
+                          jnp.where(live & case3, c.fi_lo, c.fi_hi))
+        gi_hi = jnp.where(live & case1, gt,
+                          jnp.where(live & case3, c.gi_lo, c.gi_hi))
+        take_lo = live & (~case1)
         i_lo = jnp.where(take_lo, c.step, c.i_lo)
         fi_lo = jnp.where(take_lo, ft, c.fi_lo)
         gi_lo = jnp.where(take_lo, gt, c.gi_lo)
         psi_lo = jnp.where(take_lo, psit, c.psi_lo)
-        x_lo = jnp.where(take_lo, x, c.x_lo)
-        grad_lo = jnp.where(take_lo, grad, c.grad_lo)
         fx_lo = jnp.where(take_lo, fx, c.fx_lo)
         dg_lo = jnp.where(take_lo, dg, c.dg_lo)
 
         # bracketed status (:561-569)
         i_left = jnp.minimum(i_lo, i_hi)
         i_right = jnp.maximum(i_lo, i_hi)
-        bracketed = c.bracketed | ((~in_case_2) & (i_left >= step_min) &
+        bracketed = c.bracketed | (live & (~in_case_2) &
+                                   (i_left >= step_min) &
                                    (i_right <= step_max))
 
         # Forced bisection when the interval fails to shrink (:571-591)
-        i_width_prev = jnp.where(bracketed, c.i_width, c.i_width_prev)
-        i_width = jnp.where(bracketed, jnp.abs(i_hi - i_lo), c.i_width)
+        brk_live = live & bracketed
+        i_width_prev = jnp.where(brk_live, c.i_width, c.i_width_prev)
+        i_width = jnp.where(brk_live, jnp.abs(i_hi - i_lo), c.i_width)
         fail = (i_width_prev < inf) & (i_width > shrink * i_width_prev)
-        shrink_fail = jnp.where(bracketed,
+        shrink_fail = jnp.where(brk_live,
                                 jnp.where(fail, c.shrink_fail + 1,
                                           jnp.zeros((), jnp.int32)),
                                 c.shrink_fail)
-        bisect = bracketed & (shrink_fail >= 2)
+        bisect = brk_live & (shrink_fail >= 2)
         new_step = jnp.where(bisect, (i_lo + i_hi) / 2.0, new_step)
         shrink_fail = jnp.where(bisect, jnp.zeros((), jnp.int32), shrink_fail)
 
-        new = _MTCarry(
-            step=new_step, fx=fx, dg=dg, x=x, grad=grad,
+        return _MTCarry(
+            step=jnp.where(done_now, c.step, new_step),
+            fx=fx, dg=dg, x=x, grad=grad,
             i_lo=i_lo, i_hi=i_hi, fi_lo=fi_lo, fi_hi=fi_hi,
             gi_lo=gi_lo, gi_hi=gi_hi, psi_lo=psi_lo,
-            x_lo=x_lo, grad_lo=grad_lo, fx_lo=fx_lo, dg_lo=dg_lo,
-            bracketed=bracketed, use_smin_sg=use_sg,
+            fx_lo=fx_lo, dg_lo=dg_lo,
+            bracketed=bracketed,
+            use_smin_sg=jnp.where(done_now, c.use_smin_sg, use_sg),
             i_width=i_width, i_width_prev=i_width_prev,
             shrink_fail=shrink_fail,
-            it=c.it + 1, done=c.done, nfev=nfev)
-
-        # On a terminating trial, keep the trial point but freeze all search
-        # state (the reference `return`s mid-loop with the trial in x/fx/dg).
-        stop = _MTCarry(
-            step=c.step, fx=fx, dg=dg, x=x, grad=grad,
-            i_lo=c.i_lo, i_hi=c.i_hi, fi_lo=c.fi_lo, fi_hi=c.fi_hi,
-            gi_lo=c.gi_lo, gi_hi=c.gi_hi, psi_lo=c.psi_lo,
-            x_lo=c.x_lo, grad_lo=c.grad_lo, fx_lo=c.fx_lo, dg_lo=c.dg_lo,
-            bracketed=c.bracketed, use_smin_sg=c.use_smin_sg,
-            i_width=c.i_width, i_width_prev=c.i_width_prev,
-            shrink_fail=c.shrink_fail,
-            it=c.it + 1, done=jnp.ones((), bool), nfev=nfev)
-
-        return tree_select(done_now, stop, new)
+            it=c.it + 1, done=done_now, nfev=nfev)
 
     out = lax.while_loop(cond, body, init)
 
     # Exhausted without termination: return the best-so-far (_lo) state
-    # (LineSearchMoreThuente.h:602-614).
+    # (LineSearchMoreThuente.h:602-614).  The _lo point is reconstructed
+    # here instead of carrying x_lo/grad_lo vectors through every trial;
+    # fg is pure, so the re-evaluation is bit-identical to the stored
+    # values (not counted in nfev, matching the reference count).
     exhausted = (~out.done) & (~pre_fail)
     step = jnp.where(exhausted, out.i_lo, out.step)
     fx = jnp.where(exhausted, out.fx_lo, out.fx)
     dg = jnp.where(exhausted, out.dg_lo, out.dg)
-    x = jnp.where(exhausted, out.x_lo, out.x)
-    grad = jnp.where(exhausted, out.grad_lo, out.grad)
+
+    def _reconstruct_lo(_):
+        x_l = xp + out.i_lo * drt
+        _, g_l = fg(x_l)
+        return x_l, g_l
+
+    x, grad = lax.cond(exhausted, _reconstruct_lo,
+                       lambda _: (out.x, out.grad), None)
 
     # Pre-loop failure keeps the inputs untouched.
     step = jnp.where(pre_fail, step0, step)

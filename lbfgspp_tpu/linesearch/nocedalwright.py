@@ -21,7 +21,7 @@ from jax import lax
 
 from ..parallel import collectives as coll
 from ..params import LINESEARCH_BACKTRACKING_STRONG_WOLFE
-from ..types import LineSearchResult, Status, tree_select
+from ..types import LineSearchResult, Status
 
 Array = jax.Array
 
@@ -53,8 +53,6 @@ class _NWCarry(NamedTuple):
     step_lo: Array
     fx_lo: Array
     dg_lo: Array
-    x_lo: Array
-    grad_lo: Array
     step_hi: Array
     fx_hi: Array
     it: Array
@@ -96,7 +94,6 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
     init = _NWCarry(
         step=step0, fx=fx0, dg=dg0, x=xp, grad=grad0,
         step_lo=jnp.zeros((), dtype), fx_lo=fx_init, dg_lo=dg_init,
-        x_lo=xp, grad_lo=grad0,
         step_hi=jnp.zeros((), dtype), fx_hi=jnp.zeros((), dtype),
         it=jnp.zeros((), jnp.int32),
         phase=jnp.where(pre_fail, jnp.int32(2), jnp.int32(0)),
@@ -133,8 +130,6 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
         step_lo = jnp.where(shift, c.step, c.step_lo)
         fx_lo = jnp.where(shift, fx, c.fx_lo)
         dg_lo = jnp.where(shift, dg, c.dg_lo)
-        x_lo = jnp.where(shift, x, c.x_lo)
-        grad_lo = jnp.where(shift, grad, c.grad_lo)
 
         finished = wolfe_met | exhausted
         phase = jnp.where(finished, jnp.int32(2),
@@ -146,7 +141,6 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
         # already the best-so-far (reference :185-194).
         return _NWCarry(step=new_step, fx=fx, dg=dg, x=x, grad=grad,
                         step_lo=step_lo, fx_lo=fx_lo, dg_lo=dg_lo,
-                        x_lo=x_lo, grad_lo=grad_lo,
                         step_hi=step_hi, fx_hi=fx_hi, it=it, phase=phase,
                         status=c.status, use_lo=jnp.zeros((), bool),
                         nfev=nfev)
@@ -176,8 +170,6 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
         step_lo = jnp.where(take_lo, step, c.step_lo)
         fx_lo = jnp.where(take_lo, fx, c.fx_lo)
         dg_lo = jnp.where(take_lo, dg, c.dg_lo)
-        x_lo = jnp.where(take_lo, x, c.x_lo)
-        grad_lo = jnp.where(take_lo, grad, c.grad_lo)
 
         it = c.it + 1
         numerical_fail = fail_hi | fail_lo
@@ -194,7 +186,6 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
 
         return _NWCarry(step=step, fx=fx, dg=dg, x=x, grad=grad,
                         step_lo=step_lo, fx_lo=fx_lo, dg_lo=dg_lo,
-                        x_lo=x_lo, grad_lo=grad_lo,
                         step_hi=step_hi, fx_hi=fx_hi, it=it, phase=phase,
                         status=status, use_lo=use_lo, nfev=nfev)
 
@@ -208,8 +199,19 @@ def nocedalwright(fg, param, xp: Array, drt: Array, step_max, step0,
     step = jnp.where(out.use_lo, out.step_lo, out.step)
     fx = jnp.where(out.use_lo, out.fx_lo, out.fx)
     dg = jnp.where(out.use_lo, out.dg_lo, out.dg)
-    x = jnp.where(out.use_lo, out.x_lo, out.x)
-    grad = jnp.where(out.use_lo, out.grad_lo, out.grad)
+
+    # The best-so-far (_lo) point is reconstructed only on the rare
+    # exhaustion exit instead of carrying x_lo/grad_lo vectors through
+    # every trial; fg is pure, so the re-evaluation is bit-identical to
+    # the stored values (and not counted in nfev, matching the reference's
+    # evaluation count).
+    def _reconstruct_lo(_):
+        x_l = xp + out.step_lo * drt
+        _, g_l = fg(x_l)
+        return x_l, g_l
+
+    x, grad = lax.cond(out.use_lo, _reconstruct_lo,
+                       lambda _: (out.x, out.grad), None)
 
     step = jnp.where(pre_fail, step0, step)
     fx = jnp.where(pre_fail, fx0, fx)
