@@ -29,6 +29,7 @@ from ..params import LBFGSParams
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "core.cpp")
+_SRC_B = os.path.join(_HERE, "lbfgsb.cpp")
 _LIB = os.path.join(_HERE, "libnative.so")
 
 _lock = threading.Lock()
@@ -72,9 +73,9 @@ class NativeResult(NamedTuple):
 
 
 def _build() -> Optional[str]:
-    """Compile core.cpp -> libnative.so; returns an error string or None."""
+    """Compile the native sources -> libnative.so; error string or None."""
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB + ".tmp"]
+           _SRC, _SRC_B, "-o", _LIB + ".tmp"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=120)
@@ -86,13 +87,31 @@ def _build() -> Optional[str]:
     return None
 
 
+class _CParamsB(ctypes.Structure):
+    _fields_ = [
+        ("m", ctypes.c_int),
+        ("epsilon", ctypes.c_double),
+        ("epsilon_rel", ctypes.c_double),
+        ("past", ctypes.c_int),
+        ("delta", ctypes.c_double),
+        ("max_iterations", ctypes.c_int),
+        ("max_submin", ctypes.c_int),
+        ("max_linesearch", ctypes.c_int),
+        ("min_step", ctypes.c_double),
+        ("max_step", ctypes.c_double),
+        ("ftol", ctypes.c_double),
+        ("wolfe", ctypes.c_double),
+    ]
+
+
 def _load():
     global _lib, _build_error
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
+        newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_B))
         if not os.path.exists(_LIB) or \
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                os.path.getmtime(_LIB) < newest_src:
             _build_error = _build()
             if _build_error is not None:
                 return None
@@ -103,6 +122,16 @@ def _load():
             _OBJ_CB, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(_CParams),
             ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        fnb = lib.lbfgspp_native_minimize_b
+        fnb.restype = ctypes.c_int
+        fnb.argtypes = [
+            _OBJ_CB, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(_CParamsB),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
@@ -178,5 +207,72 @@ def minimize(fun: Union[str, Callable],
         ctypes.byref(out_niter), ctypes.byref(out_nfev))
 
     return NativeResult(x=x, fx=out_fx.value, gnorm=out_gnorm.value,
+                        niter=out_niter.value, nfev=out_nfev.value,
+                        status=status)
+
+
+def minimize_b(fun: Union[str, Callable],
+               x0,
+               lb,
+               ub,
+               params=None) -> NativeResult:
+    """Native L-BFGS-B solve over the box ``[lb, ub]``.
+
+    Semantics mirror :func:`lbfgspp_tpu.minimize_b` (Moré-Thuente search,
+    same defaults/status codes); ``gnorm`` in the result is the projected-
+    gradient infinity norm.  ``lb``/``ub`` entries may be ``+/-inf``;
+    ``lb[i] == ub[i]`` pins a variable.
+    """
+    from ..params import LBFGSBParams
+
+    if params is None:
+        params = LBFGSBParams()
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+
+    x = np.array(x0, dtype=np.float64, copy=True, order="C")
+    n = x.shape[0]
+    lb = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(lb, np.float64), x.shape))
+    ub = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(ub, np.float64), x.shape))
+
+    cp = _CParamsB(m=params.m, epsilon=params.epsilon,
+                   epsilon_rel=params.epsilon_rel, past=params.past,
+                   delta=params.delta, max_iterations=params.max_iterations,
+                   max_submin=params.max_submin,
+                   max_linesearch=params.max_linesearch,
+                   min_step=params.min_step, max_step=params.max_step,
+                   ftol=params.ftol, wolfe=params.wolfe)
+
+    if isinstance(fun, str):
+        builtin_id = BUILTIN_OBJECTIVES[fun]
+        cb = _NULL_CB
+    else:
+        builtin_id = -1
+
+        def _bridge(xp, gp, nn, _user):
+            xa = np.ctypeslib.as_array(xp, shape=(nn,))
+            fx, grad = fun(xa.copy())
+            ga = np.ctypeslib.as_array(gp, shape=(nn,))
+            ga[:] = np.asarray(grad, dtype=np.float64)
+            return float(fx)
+
+        cb = _OBJ_CB(_bridge)
+
+    out_fx = ctypes.c_double()
+    out_pg = ctypes.c_double()
+    out_niter = ctypes.c_int()
+    out_nfev = ctypes.c_int()
+    dptr = ctypes.POINTER(ctypes.c_double)
+    status = lib.lbfgspp_native_minimize_b(
+        cb, None, builtin_id, n,
+        x.ctypes.data_as(dptr), lb.ctypes.data_as(dptr),
+        ub.ctypes.data_as(dptr), ctypes.byref(cp),
+        ctypes.byref(out_fx), ctypes.byref(out_pg),
+        ctypes.byref(out_niter), ctypes.byref(out_nfev))
+
+    return NativeResult(x=x, fx=out_fx.value, gnorm=out_pg.value,
                         niter=out_niter.value, nfev=out_nfev.value,
                         status=status)

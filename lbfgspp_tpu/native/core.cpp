@@ -533,6 +533,39 @@ double obj_quadratic(const double* x, double* grad, int n, void*) {
 
 extern "C" {
 
+// Builtin objectives exposed to the companion translation units.
+double lbfgspp_builtin_objective(int id, const double* x, double* grad,
+                                 int n) {
+  if (id == 0) return obj_rosenbrock(x, grad, n, nullptr);
+  return obj_quadratic(x, grad, n, nullptr);
+}
+
+// The More-Thuente search exposed with C linkage for lbfgsb.cpp.
+// Returns the status; step/fx/dg/nfev through out-params; x/grad updated
+// in place.
+int lbfgspp_native_morethuente_c(Obj f, void* user, int max_linesearch,
+                                 double min_step, double ftol, double wolfe,
+                                 const double* xp, const double* drt,
+                                 double step_max, double step_in,
+                                 double fx_in, double* x, double* grad,
+                                 double dg_in, int n, double* out_step,
+                                 double* out_fx, double* out_dg,
+                                 int* out_nfev) {
+  Params p{};
+  p.max_linesearch = max_linesearch;
+  p.min_step = min_step;
+  p.max_step = 1e20;
+  p.ftol = ftol;
+  p.wolfe = wolfe;
+  LsResult r = ls_morethuente(f, user, p, xp, drt, step_max, step_in, fx_in,
+                              x, grad, dg_in, n);
+  *out_step = r.step;
+  *out_fx = r.fx;
+  *out_dg = r.dg;
+  *out_nfev = r.nfev;
+  return r.status;
+}
+
 // Full L-BFGS solve (LBFGS.h:79-173 semantics).
 //   f/user: objective callback (ignored if builtin_id >= 0)
 //   builtin_id: -1 = use callback, 0 = rosenbrock, 1 = quadratic

@@ -108,3 +108,80 @@ def test_does_not_mutate_x0():
     x0 = np.zeros(10)
     native.minimize("rosenbrock", x0, LBFGSParams(max_iterations=50))
     np.testing.assert_array_equal(x0, np.zeros(10))
+
+
+def np_chained_fg(x):
+    fx = (x[0] - 1) ** 2 + np.sum(4 * (x[1:] - x[:-1] ** 2) ** 2)
+    g = np.zeros_like(x)
+    g[0] = 2 * (x[0] - 1) + 16 * (x[0] ** 2 - x[1]) * x[0]
+    g[1:] = 8 * (x[1:] - x[:-1] ** 2)
+    g[1:-1] += 16 * (x[1:-1] ** 2 - x[2:]) * x[1:-1]
+    return float(fx), g
+
+
+def test_lbfgsb_box_example_matches_oracle():
+    """Reference box example (example-rosenbrock-box.cpp setup): exact
+    iteration parity with the index-set oracle and the JAX solver."""
+    import oracle_b
+    from lbfgspp_tpu import LBFGSBParams
+
+    n = 25
+    lb = np.full(n, 2.0)
+    ub = np.full(n, 4.0)
+    lb[2], ub[2] = -np.inf, np.inf
+    x0 = np.full(n, 3.0)
+    x0[0] = x0[1] = 2.0
+    x0[5] = x0[7] = 4.0
+
+    res = native.minimize_b(np_chained_fg, x0, lb, ub)
+    xo, fo, go, pgo, ko = oracle_b.lbfgsb_minimize(
+        np_chained_fg, x0, oracle_b.default_b_params(), lb, ub)
+    assert res.niter == ko
+    np.testing.assert_allclose(res.x, xo, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(res.fx, fo, rtol=1e-11)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_lbfgsb_random_matches_oracle(seed):
+    """Random coupled quadratics with random bounds: trajectory parity."""
+    import oracle_b
+
+    rng = np.random.default_rng(300 + seed)
+    n = 9
+    a_half = rng.standard_normal((n, n)) / np.sqrt(n)
+    a = a_half @ a_half.T + 0.5 * np.eye(n)
+    b = rng.standard_normal(n)
+    lb = rng.standard_normal(n) - 1.5
+    ub = lb + 1.0 + rng.random(n)
+    x0 = np.clip(rng.standard_normal(n), lb, ub)
+
+    def fg(x):
+        ax = a @ x
+        return float(0.5 * x @ ax + b @ x), ax + b
+
+    res = native.minimize_b(fg, x0, lb, ub)
+    xo, fo, go, pgo, ko = oracle_b.lbfgsb_minimize(
+        fg, x0, oracle_b.default_b_params(), lb, ub)
+    assert res.niter == ko, seed
+    np.testing.assert_allclose(res.x, xo, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(res.fx, fo, rtol=1e-10, atol=1e-12)
+
+
+def test_lbfgsb_pinned_and_infinite():
+    n = 8
+    lb = np.full(n, -5.0)
+    ub = np.full(n, 5.0)
+    lb[3] = ub[3] = 2.5
+    lb[6], ub[6] = -np.inf, np.inf
+    d = np.arange(n, dtype=float)
+
+    def fg(x):
+        r = x - d
+        return float(r @ r), 2.0 * r
+
+    from lbfgspp_tpu import LBFGSBParams
+    res = native.minimize_b(fg, np.zeros(n), lb, ub,
+                            LBFGSBParams(epsilon=1e-8, epsilon_rel=0.0))
+    want = np.clip(d, lb, ub)
+    np.testing.assert_allclose(res.x, want, atol=1e-5)
+    assert res.x[3] == 2.5
