@@ -31,20 +31,33 @@ def minimize_batched(fun: Optional[Callable] = None,
                      *,
                      fun_and_grad=None,
                      line_search: str = "nocedalwright",
-                     jit: bool = True) -> SolveResult:
+                     jit: bool = True,
+                     mesh=None,
+                     batch_axis: str = "batch") -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
     field.  Tip: batch mode runs until the slowest instance terminates, so
     set ``params.max_iterations`` (the reference's 0 = unlimited would let
     one diverged instance stall the whole batch).
+
+    Pass ``mesh`` (a 1-D `jax.sharding.Mesh`) to scale the batch over
+    multiple chips data-parallel: instances are independent, so the jitted
+    vmap partitions along the batch axis with ZERO collectives — each chip
+    runs its shard of instances.  (This is the multi-chip throughput axis;
+    the feature axis lives in :mod:`.parallel.sharded`.)
     """
     def solve_one(x0):
         return lbfgs.minimize(fun, x0, params, fun_and_grad=fun_and_grad,
                               line_search=line_search)
 
     f = jax.vmap(solve_one)
-    if jit:
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(batch_axis))
+        x0s = jax.device_put(jnp.asarray(x0s), sh)
+        f = jax.jit(f)
+    elif jit:
         f = jax.jit(f)
     return f(x0s)
 

@@ -71,3 +71,26 @@ def test_checkpoint_file_roundtrip(tmp_path):
     got = s.finalize(s.run(restored))
     assert int(got.niter) == int(ref.niter)
     np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+
+
+def test_minimize_batched_over_mesh():
+    """Data-parallel batch: the batch axis shards over a device mesh with
+    zero collectives; results equal the single-device batch."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n, batch = 8, 16
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-1, 1, (batch, n)))
+    p = LBFGSParams(epsilon=1e-6, max_iterations=150)
+
+    ref = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    res = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p,
+                           mesh=mesh)
+    assert res.x.sharding.spec == P("batch")
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-12)
