@@ -71,11 +71,21 @@ class LBFGSHistory(NamedTuple):
         return self.s.shape[0]
 
 
-def init_history(n: int, m: int, dtype=jnp.float32) -> LBFGSHistory:
-    """Fresh history (BFGSMat::reset, BFGSMat.h:61-78)."""
+def init_history(n: int, m: int, dtype=jnp.float32,
+                 store_dtype=None) -> LBFGSHistory:
+    """Fresh history (BFGSMat::reset, BFGSMat.h:61-78).
+
+    ``store_dtype`` (e.g. ``jnp.bfloat16``) stores the s/y rows at reduced
+    precision while all inner products, Grams and coefficients stay in
+    ``dtype`` — halving the HBM traffic of the dominant [2m, n] streams.
+    The correction-pair products for the gate/Grams are computed from the
+    full-precision incoming vectors, so only the materialized direction
+    combine sees the rounding.
+    """
+    sdt = dtype if store_dtype is None else store_dtype
     return LBFGSHistory(
-        s=jnp.zeros((m, n), dtype),
-        y=jnp.zeros((m, n), dtype),
+        s=jnp.zeros((m, n), sdt),
+        y=jnp.zeros((m, n), sdt),
         ys=jnp.zeros((m,), dtype),
         theta=jnp.ones((), dtype),
         ncorr=jnp.zeros((), jnp.int32),
@@ -153,8 +163,8 @@ def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
     is_loc = slots == loc
     write = accept & is_loc                      # [m] row-write mask
 
-    new_s = _masked_row_write(hist.s, s, loc, accept)
-    new_y = _masked_row_write(hist.y, y, loc, accept)
+    new_s = _masked_row_write(hist.s, s.astype(hist.s.dtype), loc, accept)
+    new_y = _masked_row_write(hist.y, y.astype(hist.y.dtype), loc, accept)
     new_ys = jnp.where(write, ys, hist.ys)
     new_theta = jnp.where(accept, yy_new / ys, hist.theta)
     new_ncorr = jnp.where(accept, jnp.minimum(hist.ncorr + 1, m), hist.ncorr)
@@ -232,8 +242,9 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
     identical math, reassociated summation.
     """
     # Batched on-chip solves route through the Pallas-fused kernel (one HBM
-    # pass over s/y); single/sharded/f64 solves use the XLA path below.
-    if isinstance(a, (int, float)):
+    # pass over s/y); single/sharded/f64/mixed-storage solves use the XLA
+    # path below.
+    if isinstance(a, (int, float)) and hist.s.dtype == v.dtype:
         from . import fused
         if fused.fused_available(v.dtype, axis_name):
             return fused.apply_hv_fused(hist, v, float(a))
