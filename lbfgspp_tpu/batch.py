@@ -12,7 +12,6 @@ one device launch.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -31,7 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
 
 Array = jax.Array
 
