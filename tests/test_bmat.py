@@ -155,3 +155,32 @@ def test_rejected_correction_keeps_state():
                                   np.asarray(bh.base.s))
     assert int(bh2.base.ncorr) == int(bh.base.ncorr)
     assert int(bh2.base.ptr) == int(bh.base.ptr)
+
+
+def test_use_bkldlt_flag_full_solve():
+    """The documented USE_BKLDLT flag routes the middle-matrix systems
+    through the faithful Bunch-Kaufman factorization; the box example
+    must reproduce the default path's trajectory."""
+    import jax.numpy as jnp
+    from lbfgspp_tpu import LBFGSBParams, minimize_b
+    from lbfgspp_tpu.utils.objectives import rosenbrock_chained_fg
+
+    n = 10
+    lb = jnp.full((n,), 2.0)
+    ub = jnp.full((n,), 4.0)
+    x0 = jnp.full((n,), 3.0)
+    p = LBFGSBParams(epsilon=1e-6, max_iterations=100)
+
+    ref = minimize_b(fun_and_grad=rosenbrock_chained_fg, x0=x0, lb=lb,
+                     ub=ub, params=p)
+    old = bmat.USE_BKLDLT
+    try:
+        bmat.USE_BKLDLT = True
+        res = minimize_b(fun_and_grad=rosenbrock_chained_fg, x0=x0, lb=lb,
+                         ub=ub, params=p)
+    finally:
+        bmat.USE_BKLDLT = old
+    assert int(res.niter) == int(ref.niter)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-11)
