@@ -12,6 +12,7 @@ one device launch.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional
 
 import jax
@@ -24,6 +25,54 @@ from . import lbfgs, lbfgsb
 Array = jax.Array
 
 
+def polish_solve(fun: Optional[Callable], x0: Array,
+                 params: LBFGSParams,
+                 iters: int,
+                 *,
+                 fun_and_grad=None,
+                 line_search: str = "morethuente") -> SolveResult:
+    """Refine a stalled f32 solution with up to ``iters`` L-BFGS iterations
+    in *double-float pair space* (:mod:`.utils.doublefloat`).
+
+    A pure-f32 solve hits two walls the reference (which assumes double,
+    README.md:88-94) never sees: the gradient evaluation rounding floor,
+    and — more fundamentally — the ``ulp(x)`` wall: near the optimum the
+    useful quasi-Newton step is smaller than the spacing of f32 numbers at
+    ``x``, so every line-search trial rounds back to ``x`` and NO f32
+    method can progress.  The polish phase optimizes over the paired
+    variables ``[hi; lo]`` (2n ordinary f32 coordinates) with the objective
+    and gradient evaluated at the exact sum in df64 arithmetic
+    (:func:`~.utils.doublefloat.df64_pair_fun_and_grad`): big moves land in
+    ``hi``, sub-ulp moves accumulate in ``lo``, and the unchanged f32
+    solver machinery recovers reference-grade (double-precision-criterion)
+    solutions on f32 hardware.
+    """
+    from .utils import doublefloat as dfl
+
+    fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
+    pparams = dataclasses.replace(params, max_iterations=iters)
+    s = lbfgs.solver(fun_and_grad=fg2, params=pparams,
+                     line_search=line_search)
+    n = x0.shape[0]
+    x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])
+    res2 = s.finalize(s.run(s.init(x2)))
+    x = dfl.pair_to_float(res2.x)
+    grad = res2.grad[:n]
+    return SolveResult(x=x, fx=res2.fx, grad=grad,
+                       gnorm=jnp.linalg.norm(grad),
+                       niter=res2.niter, nfev=res2.nfev,
+                       status=res2.status, history=res2.history)
+
+
+def _merge_polished(res: SolveResult, pol: SolveResult) -> SolveResult:
+    """Combine main + polish phases: iterates from the polish phase,
+    counters summed, history (in original-space shape) from the main
+    phase."""
+    return SolveResult(x=pol.x, fx=pol.fx, grad=pol.grad, gnorm=pol.gnorm,
+                       niter=res.niter + pol.niter, nfev=res.nfev + pol.nfev,
+                       status=pol.status, history=res.history)
+
+
 def minimize_batched(fun: Optional[Callable] = None,
                      x0s: Array = None,
                      params: LBFGSParams = LBFGSParams(),
@@ -32,7 +81,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      line_search: str = "nocedalwright",
                      jit: bool = True,
                      mesh=None,
-                     batch_axis: str = "batch") -> SolveResult:
+                     batch_axis: str = "batch",
+                     polish_iters: int = 0) -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -45,10 +95,20 @@ def minimize_batched(fun: Optional[Callable] = None,
     vmap partitions along the batch axis with ZERO collectives — each chip
     runs its shard of instances.  (This is the multi-chip throughput axis;
     the feature axis lives in :mod:`.parallel.sharded`.)
+
+    ``polish_iters > 0`` appends a df64 polish phase (:func:`polish_solve`)
+    that warm-starts from each instance's final state and history — on f32
+    hardware this recovers the reference's double-precision solution
+    quality at a few extra iterations' cost.
     """
     def solve_one(x0):
-        return lbfgs.minimize(fun, x0, params, fun_and_grad=fun_and_grad,
-                              line_search=line_search)
+        res = lbfgs.minimize(fun, x0, params, fun_and_grad=fun_and_grad,
+                             line_search=line_search)
+        if polish_iters:
+            pol = polish_solve(fun, res.x, params, polish_iters,
+                               fun_and_grad=fun_and_grad)
+            res = _merge_polished(res, pol)
+        return res
 
     f = jax.vmap(solve_one)
     if mesh is not None:

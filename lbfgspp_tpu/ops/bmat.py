@@ -184,52 +184,66 @@ def update_history_b(bh: BHistory, s: Array, y: Array, allow: Array,
 
 def _finish_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
                          yx: Array, sx: Array, pair) -> BHistory:
+    """All ``minv`` writes are one-hot masked selects (no dynamic slicing):
+    ``loc`` is a traced per-instance scalar, so under ``vmap`` a
+    ``dynamic_update_slice`` would become a batched scatter — which lowers
+    terribly on TPU — while a ``where`` over the tiny [2m, 2m] matrix fuses
+    into plain vector ops.  The written values are bit-identical to the
+    reference's in-place updates (BFGSMat.h:99-146)."""
     m = bh.m
-    dtype = s.dtype
-    m32 = jnp.int32(m)
-    zero32 = jnp.int32(0)
     loc = (bh.base.ptr % m).astype(jnp.int32)
     base = _write_correction(bh.base, s, y, accept, yx, sx, pair)
     new_ncorr = base.ncorr
 
     ys_new, _, ss_new = pair
-    slots_eq_loc = jnp.arange(m) == loc
+    slots = jnp.arange(m)
+    slots_eq_loc = slots == loc
     # s_j . s_new over all slots (new pair product on the diagonal)
     ss_all = jnp.where(slots_eq_loc, ss_new, sx[:, 1])
     # y_j . s_new over all slots
     sy_all = jnp.where(slots_eq_loc, ys_new, yx[:, 1])
 
-    slots = jnp.arange(m)
     valid = slots < new_ncorr
 
-    minv = bh.minv
-    # -D block diagonal entry.
-    minv = minv.at[loc, loc].set(jnp.where(accept, -ys_new, minv[loc, loc]))
+    # One-hot row/col selectors over the [2m] slot axis.
+    e_top = jnp.concatenate([slots_eq_loc, jnp.zeros((m,), bool)])  # slot loc
+    e_bot = jnp.concatenate([jnp.zeros((m,), bool), slots_eq_loc])  # m + loc
+    top_half = jnp.arange(2 * m) < m
+    valid_bot = jnp.concatenate([jnp.zeros((m,), bool), valid])
 
-    # S'S row and column m+loc over valid slots (others keep identity).
-    ss_row_old = lax.dynamic_slice(minv, (m32 + loc, m32), (1, m))[0]
-    ss_row = jnp.where(valid, ss_all, ss_row_old)
-    ss_row = jnp.where(accept, ss_row, ss_row_old)
-    minv = lax.dynamic_update_slice(minv, ss_row[None, :], (m32 + loc, m32))
-    minv = lax.dynamic_update_slice(minv, ss_row[:, None], (m32, m32 + loc))
+    minv = bh.minv
+    # -D block diagonal entry (BFGSMat.h:107).
+    minv = jnp.where(accept & (e_top[:, None] & e_top[None, :]),
+                     -ys_new, minv)
+
+    # S'S row and column m+loc over valid slots (others keep identity,
+    # BFGSMat.h:111-113).
+    ss2 = jnp.concatenate([ss_all, ss_all])        # value by column slot
+    minv = jnp.where(accept & (e_bot[:, None] & valid_bot[None, :]),
+                     ss2[None, :], minv)
+    minv = jnp.where(accept & (valid_bot[:, None] & e_bot[None, :]),
+                     ss2[:, None], minv)
 
     # When the buffer is full the overwritten slot's y column carries stale
     # L entries (s_i' y_old) for every i — zero the column (and its mirror
     # row), matching the setZero at BFGSMat.h:129-130.
     stale = accept & (new_ncorr == m)
-    l_col_old = lax.dynamic_slice(minv, (m32, loc), (m, 1))[:, 0]
-    l_col = jnp.where(stale, jnp.zeros((m,), dtype), l_col_old)
-    minv = lax.dynamic_update_slice(minv, l_col[:, None], (m32, loc))
-    minv = lax.dynamic_update_slice(minv, l_col[None, :], (loc, m32))
+    minv = jnp.where(stale & ((~top_half)[:, None] & e_top[None, :]),
+                     0.0, minv)
+    minv = jnp.where(stale & (e_top[:, None] & (~top_half)[None, :]),
+                     0.0, minv)
 
-    # L-block row for the new s: entries for ring distance 1..ncorr-1.
+    # L-block row for the new s: entries for ring distance 1..ncorr-1
+    # (BFGSMat.h:115-140); writing the whole row also re-zeroes the stale
+    # entries of the overwritten slot.
     dist = (loc - slots) % m
     in_window = (dist >= 1) & (dist <= new_ncorr - 1)
-    l_row_old = lax.dynamic_slice(minv, (m32 + loc, zero32), (1, m))[0]
-    l_row = jnp.where(in_window, sy_all, jnp.zeros((m,), dtype))
-    l_row = jnp.where(accept, l_row, l_row_old)
-    minv = lax.dynamic_update_slice(minv, l_row[None, :], (m32 + loc, zero32))
-    minv = lax.dynamic_update_slice(minv, l_row[:, None], (zero32, m32 + loc))
+    l_row = jnp.where(in_window, sy_all, 0.0)
+    l2 = jnp.concatenate([l_row, l_row])           # value by opposing slot
+    minv = jnp.where(accept & (e_bot[:, None] & top_half[None, :]),
+                     l2[None, :], minv)
+    minv = jnp.where(accept & (top_half[:, None] & e_bot[None, :]),
+                     l2[:, None], minv)
 
     mdense, info = _factor_minv(minv, base.theta, m)
     return BHistory(base=base, minv=minv, mdense=mdense, info=info)

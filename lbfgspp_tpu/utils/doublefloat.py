@@ -1,0 +1,472 @@
+"""Double-float ("df64") emulated high precision for TPU.
+
+TPUs have no hardware f64; ``jax.config.x64`` is CPU-only.  This module
+provides the classical error-free-transform arithmetic (Dekker 1971, Knuth
+TAOCP 4.2.2, Hida-Li-Bailey's QD library) over *pairs* of native floats
+``(hi, lo)`` with ``fl(hi + lo) == hi``, giving ~2x the mantissa of the base
+dtype (f32 pairs: ~48 effective bits) out of ordinary VPU adds/muls — no
+hardware support needed.
+
+Why it exists here: the reference examples converge to ``max|x_i - 1| <=
+1e-4`` on every run (example-rosenbrock-bracketing.cpp:50-54), but a pure-f32
+solve stalls at the f32 *gradient rounding floor* (||g|| noise ~ 1e-4 for
+Rosenbrock-type cancellation), leaving a fraction of batch instances just
+outside the criterion.  Evaluating the objective gradient through df64
+arithmetic removes that floor (noise ~ 1e-11) while every solver data
+structure stays f32 — a few df64 "polish" iterations after the f32 solve
+recover reference-grade solutions at TPU-native throughput (see
+:func:`lbfgspp_tpu.batch.minimize_batched` ``polish_iters``).
+
+Two layers:
+
+* scalar/array pair ops: ``two_sum``, ``two_prod``, ``add``, ``mul``, ``div``,
+  ``df_sum`` (error-compensated tree reduction);
+* :func:`df64ify` — a jaxpr interpreter that re-evaluates an arbitrary jitted
+  function with every arithmetic primitive replaced by its df64 rule
+  (structure ops pass both words through; unknown primitives gracefully fall
+  back to the hi word).  ``df64ify(jax.value_and_grad(f))`` therefore yields
+  a *gradient evaluated in emulated f64* without rewriting ``f``.
+
+Correctness notes: the error-free transforms require IEEE round-to-nearest
+adds/muls without fused contraction, which XLA guarantees at the HLO level
+(no fast-math reassociation on TPU); ``tests/test_doublefloat.py`` asserts
+exactness of the transforms against f64 on every CI backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:                       # jaxpr types live in jax.extend.core on new jax
+    from jax.extend.core import Literal as _Literal
+except Exception:          # pragma: no cover
+    from jax.core import Literal as _Literal
+
+Array = jax.Array
+
+
+class DF(NamedTuple):
+    """A double-float number/array: value = hi + lo, with fl(hi+lo) = hi."""
+
+    hi: Array
+    lo: Array
+
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+
+def lift(x) -> DF:
+    """Promote a native float array to a df64 pair (exact)."""
+    x = jnp.asarray(x)
+    return DF(x, jnp.zeros_like(x))
+
+
+def _split_const(dtype) -> float:
+    # Dekker split factor 2^ceil(p/2) + 1 (p = mantissa bits incl. hidden).
+    bits = {np.dtype(np.float32): 12, np.dtype(np.float64): 27}
+    return float(2 ** bits[np.dtype(dtype)] + 1)
+
+
+def two_sum(a: Array, b: Array):
+    """Error-free sum: a + b = s + err exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def quick_two_sum(a: Array, b: Array):
+    """Error-free sum assuming |a| >= |b| (Dekker)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def two_prod(a: Array, b: Array):
+    """Error-free product via Dekker splitting: a * b = p + err exactly."""
+    p = a * b
+    c = _split_const(p.dtype) * a
+    ah = c - (c - a)
+    al = a - ah
+    c = _split_const(p.dtype) * b
+    bh = c - (c - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def add(x: DF, y: DF) -> DF:
+    s, e = two_sum(x.hi, y.hi)
+    e = e + (x.lo + y.lo)
+    s, e = quick_two_sum(s, e)
+    return DF(s, e)
+
+
+def neg(x: DF) -> DF:
+    return DF(-x.hi, -x.lo)
+
+
+def sub(x: DF, y: DF) -> DF:
+    return add(x, neg(y))
+
+
+def mul(x: DF, y: DF) -> DF:
+    p, e = two_prod(x.hi, y.hi)
+    e = e + (x.hi * y.lo + x.lo * y.hi)
+    p, e = quick_two_sum(p, e)
+    return DF(p, e)
+
+
+def div(x: DF, y: DF) -> DF:
+    # One coarse quotient + one Newton-style correction (QD's div).
+    q1 = x.hi / y.hi
+    r = sub(x, mul(lift(q1), y))
+    q2 = r.hi / y.hi
+    r = sub(r, mul(lift(q2), y))
+    q3 = r.hi / y.hi
+    s, e = quick_two_sum(q1, q2)
+    return add(DF(s, e), lift(q3))
+
+
+def sqrt(x: DF) -> DF:
+    # Karp-Markstein: y ~ 1/sqrt(x); s = x*y; refine.
+    s0 = jnp.sqrt(x.hi)
+    safe = jnp.where(s0 > 0, s0, 1.0)
+    d = sub(x, mul(DF(safe, jnp.zeros_like(safe)),
+                   DF(safe, jnp.zeros_like(safe))))
+    corr = d.hi / (2.0 * safe)
+    hi, lo = quick_two_sum(safe, corr)
+    return DF(jnp.where(s0 > 0, hi, s0), jnp.where(s0 > 0, lo, 0.0))
+
+
+def to_float(x: DF) -> Array:
+    """Round back to the base dtype."""
+    if not jnp.issubdtype(jnp.asarray(x.hi).dtype, jnp.inexact):
+        return x.hi           # bool/int words carry no error term
+    return x.hi + x.lo
+
+
+def _tree_fold(x: DF, axis: int) -> DF:
+    """Compensated reduction along ``axis`` by repeated halving: log2(n)
+    vectorized df adds — accurate and TPU-parallel (no sequential carry)."""
+    hi = jnp.moveaxis(x.hi, axis, 0)
+    lo = jnp.moveaxis(x.lo, axis, 0)
+    n = hi.shape[0]
+    while n > 1:
+        half = (n + 1) // 2
+        pad = half * 2 - n
+        if pad:
+            zpad = jnp.zeros((pad,) + hi.shape[1:], hi.dtype)
+            hi = jnp.concatenate([hi, zpad], axis=0)
+            lo = jnp.concatenate([lo, zpad], axis=0)
+        a = DF(hi[:half], lo[:half])
+        b = DF(hi[half:], lo[half:])
+        s = add(a, b)
+        hi, lo = s.hi, s.lo
+        n = half
+    return DF(hi[0], lo[0])
+
+
+def df_sum(x: DF, axes) -> DF:
+    """Compensated sum over ``axes`` (tuple of ints)."""
+    out = x
+    for ax in sorted(axes, reverse=True):
+        out = _tree_fold(out, ax)
+    return out
+
+
+def df_dot(a: DF, b: DF) -> DF:
+    """Compensated dot product of two 1-D df vectors."""
+    return df_sum(mul(a, b), (0,))
+
+
+# ---------------------------------------------------------------------------
+# jaxpr interpreter
+# ---------------------------------------------------------------------------
+
+def _rule_structural(prim, *args, **params):
+    """Apply the primitive separately to hi and lo words (exact for all
+    data-movement ops).  Integer/bool operands (gather indices, dynamic
+    slice starts, ...) carry no error term — their *hi* word feeds both
+    binds, otherwise the lo pass would index with zeros."""
+    def lo_word(a):
+        if jnp.issubdtype(jnp.asarray(a.hi).dtype, jnp.inexact):
+            return a.lo
+        return a.hi
+    his = prim.bind(*[a.hi for a in args], **params)
+    los = prim.bind(*[lo_word(a) for a in args], **params)
+    if prim.multiple_results:
+        return [DF(h, l) for h, l in zip(his, los)]
+    return DF(his, los)
+
+
+_STRUCTURAL = {
+    "reshape", "broadcast_in_dim", "transpose", "slice", "squeeze",
+    "concatenate", "rev", "expand_dims", "dynamic_slice", "pad",
+    "gather", "copy", "stop_gradient",
+    # scatter-add appears as the AD transpose of gather/slicing; with the
+    # unique indices AD generates it is pure data movement, so per-word
+    # application is exact (colliding adds would round per word — still
+    # far better than the f32 fallback).
+    "scatter-add", "scatter", "dynamic_update_slice",
+}
+
+
+def _rule_select_n(prim, which, *cases, **params):
+    hi = prim.bind(which.hi, *[c.hi for c in cases], **params)
+    lo = prim.bind(which.hi, *[c.lo for c in cases], **params)
+    return DF(hi, lo)
+
+
+def _rule_integer_pow(prim, x, *, y, **_kw):
+    if y == 0:
+        return lift(jnp.ones_like(x.hi))
+    neg_pow = y < 0
+    k = -y if neg_pow else y
+    # Square-and-multiply in df arithmetic.
+    result = None
+    base = x
+    while k:
+        if k & 1:
+            result = base if result is None else mul(result, base)
+        k >>= 1
+        if k:
+            base = mul(base, base)
+    if neg_pow:
+        result = div(lift(jnp.ones_like(x.hi)), result)
+    return result
+
+
+def _rule_reduce_sum(prim, x, *, axes, **_kw):
+    return df_sum(x, axes)
+
+
+def _rule_dot_general(prim, a, b, *, dimension_numbers, **params):
+    """Compensated dot_general: expand products with two_prod and tree-sum
+    over the contraction axes.  Memory grows by the contraction size, so this
+    is meant for the solver-scale matvecs/dots, not giant GEMMs."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    # Move batch then contraction dims to front on both operands.
+    def arrange(x, batch, contract):
+        other = [d for d in range(x.hi.ndim)
+                 if d not in batch and d not in contract]
+        perm = list(batch) + list(contract) + other
+        return DF(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm)), \
+            len(other)
+    a2, a_free = arrange(a, lb, lc)
+    b2, b_free = arrange(b, rb, rc)
+    nb, nc = len(lb), len(lc)
+    # Shapes: a2 [B..., C..., M...], b2 [B..., C..., N...]
+    a_sh, b_sh = a2.hi.shape, b2.hi.shape
+    bshape = a_sh[:nb]
+    cshape = a_sh[nb:nb + nc]
+    mshape = a_sh[nb + nc:]
+    nshape = b_sh[nb + nc:]
+    ax = DF(a2.hi.reshape(bshape + cshape + mshape + (1,) * len(nshape)),
+            a2.lo.reshape(bshape + cshape + mshape + (1,) * len(nshape)))
+    bx = DF(b2.hi.reshape(bshape + cshape + (1,) * len(mshape) + nshape),
+            b2.lo.reshape(bshape + cshape + (1,) * len(mshape) + nshape))
+    prod = mul(ax, bx)
+    axes = tuple(range(nb, nb + nc))
+    return df_sum(prod, axes)
+
+
+def _fallback(prim, *args, **params):
+    """Evaluate through the hi words only (rounds to base precision)."""
+    out = prim.bind(*[to_float(a) for a in args], **params)
+    if prim.multiple_results:
+        return [lift(o) for o in out]
+    return lift(out)
+
+
+def _rule_call(prim, *args, **params):
+    inner = params.get("jaxpr", None) or params.get("call_jaxpr", None)
+    if inner is None:
+        return _fallback(prim, *args, **params)
+    if hasattr(inner, "jaxpr"):           # ClosedJaxpr
+        return _eval_jaxpr_df(inner.jaxpr, inner.consts, args)
+    return _eval_jaxpr_df(inner, [], args)
+
+
+_ARITH_RULES = {
+    "add": lambda p, a, b, **kw: add(a, b),
+    "sub": lambda p, a, b, **kw: sub(a, b),
+    "mul": lambda p, a, b, **kw: mul(a, b),
+    "div": lambda p, a, b, **kw: div(a, b),
+    "neg": lambda p, a, **kw: neg(a),
+    "sqrt": lambda p, a, **kw: sqrt(a),
+    "abs": lambda p, a, **kw: DF(jnp.where(a.hi < 0, -a.hi, a.hi),
+                                 jnp.where(a.hi < 0, -a.lo, a.lo)),
+    "max": lambda p, a, b, **kw: _df_select(_df_ge(a, b), a, b),
+    "min": lambda p, a, b, **kw: _df_select(_df_ge(a, b), b, a),
+    "integer_pow": _rule_integer_pow,
+    "reduce_sum": _rule_reduce_sum,
+    "dot_general": _rule_dot_general,
+    "select_n": _rule_select_n,
+}
+
+_CALLS = {"pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
+          "custom_vjp_call_jaxpr", "remat", "checkpoint"}
+
+_CMP = {"eq": jnp.equal, "ne": jnp.not_equal, "lt": jnp.less,
+        "le": jnp.less_equal, "gt": jnp.greater, "ge": jnp.greater_equal}
+
+
+def _df_ge(a: DF, b: DF):
+    d = sub(a, b)
+    return (d.hi > 0) | ((d.hi == 0) & (d.lo >= 0))
+
+
+def _df_select(pred, a: DF, b: DF) -> DF:
+    return DF(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
+
+
+def _rule_cmp(prim, a, b, **params):
+    # Compare on the full df values (exact: compare the difference).
+    if not jnp.issubdtype(jnp.asarray(a.hi).dtype, jnp.inexact):
+        out = _CMP[prim.name](a.hi, b.hi)
+        return DF(out, jnp.zeros_like(out))
+    d = sub(a, b)
+    out = _CMP[prim.name](d.hi + d.lo, jnp.zeros_like(d.hi))
+    return DF(out, jnp.zeros_like(out))
+
+
+def _eval_jaxpr_df(jaxpr, consts, args):
+    env = {}
+
+    def read(v):
+        if isinstance(v, _Literal):
+            return lift(jnp.asarray(v.val))
+        return env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for v, c in zip(jaxpr.constvars, consts):
+        write(v, lift(c))
+    flat_args = list(args)
+    for v, a in zip(jaxpr.invars, flat_args):
+        write(v, a if isinstance(a, DF) else lift(a))
+
+    def all_float(vals):
+        return all(jnp.issubdtype(jnp.asarray(v.hi).dtype, jnp.inexact)
+                   for v in vals)
+
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        if name in _CALLS:
+            out = _rule_call(eqn.primitive, *invals, **eqn.params)
+        elif name == "convert_element_type":
+            dst = eqn.params["new_dtype"]
+            if all_float(invals) and jnp.issubdtype(dst, jnp.inexact):
+                out = DF(invals[0].hi.astype(dst), invals[0].lo.astype(dst))
+            else:
+                out = _fallback(eqn.primitive, *invals, **eqn.params)
+        elif name in _ARITH_RULES:
+            # df rules apply to floating data only; integer/bool arithmetic
+            # is exact natively.
+            numeric = invals if name != "select_n" else invals[1:]
+            if all_float(numeric):
+                out = _ARITH_RULES[name](eqn.primitive, *invals,
+                                         **eqn.params)
+            else:
+                out = _fallback(eqn.primitive, *invals, **eqn.params)
+        elif name in _CMP:
+            out = _rule_cmp(eqn.primitive, *invals, **eqn.params)
+        elif name in _STRUCTURAL:
+            out = _rule_structural(eqn.primitive, *invals, **eqn.params)
+        else:
+            out = _fallback(eqn.primitive, *invals, **eqn.params)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, out):
+                write(v, o)
+        else:
+            write(eqn.outvars[0], out)
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+def df64ify(fun: Callable, to_native: bool = True) -> Callable:
+    """Re-evaluate ``fun`` with all arithmetic in df64 (emulated f64).
+
+    Traces ``fun`` to a jaxpr at call time and interprets every primitive
+    with its double-float rule; data movement passes both words through and
+    unsupported primitives fall back to base precision for that op only.
+    With ``to_native`` (default) the outputs are rounded back to the base
+    dtype — e.g. ``df64ify(jax.value_and_grad(f))`` is a drop-in
+    ``fun_and_grad`` whose gradient carries ~2x mantissa accuracy.
+    """
+
+    def wrapped(*args):
+        closed = jax.make_jaxpr(fun)(*args)
+        flat_args, _ = jax.tree_util.tree_flatten(args)
+        outs = _eval_jaxpr_df(closed.jaxpr, closed.consts,
+                              [lift(a) for a in flat_args])
+        if to_native:
+            outs = [to_float(o) for o in outs]
+        else:
+            outs = list(outs)
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(
+                jax.eval_shape(fun, *args)), outs)
+
+    return wrapped
+
+
+def df64_fun_and_grad(fun: Callable) -> Callable:
+    """``x -> (fx, grad)`` evaluated through df64 arithmetic.
+
+    The returned callable is a drop-in for the solvers' ``fun_and_grad``:
+    inputs and outputs are native f32, but every add/mul/sum inside both the
+    objective and its AD transpose runs in double-float, so the gradient is
+    accurate to ~1e-11 relative instead of the f32 ~1e-5 floor.
+    """
+    return df64ify(jax.value_and_grad(fun))
+
+
+def df64_pair_fun_and_grad(fun: Callable = None,
+                           fun_and_grad: Callable = None) -> Callable:
+    """Lift ``fun`` to the *paired* parameter space ``x2 = [hi; lo]``.
+
+    Near an optimum the useful quasi-Newton step is often smaller than
+    ``ulp(x)`` — in plain f32 every trial point rounds back to ``x`` and no
+    line search can make progress (the f32 polish dead-end).  Optimizing
+    over a double-float pair removes the wall: the solver sees ``2n``
+    ordinary f32 variables, but the objective evaluates at the *exact* sum
+    ``hi + lo`` in df64 arithmetic, so sub-ulp progress accumulates in the
+    ``lo`` word.  ``dF/dhi = dF/dlo = f'(hi + lo)`` exactly, so the
+    returned gradient is the true df64 gradient duplicated on both halves.
+
+    Returns a ``fun_and_grad`` over ``[2n]`` vectors; combine the halves
+    with :func:`pair_to_float` when done.  Pass ``fun_and_grad`` instead of
+    ``fun`` to pair-lift a hand-written gradient function.
+    """
+    vg = fun_and_grad if fun_and_grad is not None else jax.value_and_grad(fun)
+
+    def fg2(x2):
+        n = x2.shape[0] // 2
+        hi, lo = x2[:n], x2[n:]
+        s, e = two_sum(hi, lo)
+        closed = jax.make_jaxpr(vg)(s)
+        fx, g = _eval_jaxpr_df(closed.jaxpr, closed.consts, [DF(s, e)])
+        g1 = to_float(g)
+        return to_float(fx), jnp.concatenate([g1, g1])
+
+    return fg2
+
+
+def pair_to_float(x2: Array) -> Array:
+    """Collapse a paired iterate ``[hi; lo]`` back to the base dtype."""
+    n = x2.shape[0] // 2
+    return x2[:n] + x2[n:]
