@@ -129,17 +129,27 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        *,
                        fun_and_grad=None,
                        line_search: str = "morethuente",
-                       jit: bool = True) -> SolveResult:
+                       jit: bool = True,
+                       gcp: str = "prefix",
+                       unroll_subspace: bool = True) -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
-    per-instance [B, n]."""
+    per-instance [B, n].
+
+    Defaults to the batched fast path: the prefix-sum GCP (all-parallel,
+    no per-breakpoint scan) and a statically unrolled BOXCQP — under
+    ``vmap`` the sequential walks of the reference formulation serialize
+    the whole batch at each tiny step.  Pass ``gcp="scan"``,
+    ``unroll_subspace=False`` for the bit-exact reference-order path."""
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
     per_instance = lb.ndim == 2
 
     def solve_one(x0, lbi, ubi):
-        return lbfgsb.minimize(fun, x0, lbi, ubi, params,
-                               fun_and_grad=fun_and_grad,
-                               line_search=line_search)
+        s = lbfgsb.solver(fun, lbi, ubi, params,
+                          fun_and_grad=fun_and_grad,
+                          line_search=line_search, gcp=gcp,
+                          unroll_subspace=unroll_subspace)
+        return s.finalize(s.run(s.init(x0)))
 
     in_axes = (0, 0, 0) if per_instance else (0, None, None)
     f = jax.vmap(solve_one, in_axes=in_axes)

@@ -94,9 +94,19 @@ def solver(fun: Optional[Callable] = None,
            *,
            fun_and_grad=None,
            line_search="morethuente",
-           axis_name: Optional[str] = None):
+           axis_name: Optional[str] = None,
+           gcp: str = "scan",
+           unroll_subspace: bool = False):
     """Build the L-BFGS-B ``init/step/finalize`` triple (see
-    :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over."""
+    :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over.
+
+    ``gcp`` selects the generalized-Cauchy-point implementation:
+    ``"scan"`` (default) is the sequential sorted walk matching the
+    reference's summation order bit-for-bit; ``"prefix"`` re-expresses the
+    walk as parallel prefix sums (:func:`..ops.cauchy.cauchy_point_prefix`)
+    — the batched fast path (same index sets, reassociated sums).
+    ``unroll_subspace`` statically unrolls the BOXCQP active-set loop
+    (identical values; see :func:`..ops.subspace.subspace_minimize`)."""
     from .lbfgs import Solver
 
     if axis_name is not None:
@@ -112,12 +122,14 @@ def solver(fun: Optional[Callable] = None,
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
 
+    gcp_fn = cauchy.GCP_IMPLS[gcp]
+
     def init(x0: Array) -> LBFGSBState:
         x0 = jnp.asarray(x0)
         dtype = x0.dtype
         lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), x0.shape)
         ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), x0.shape)
-        return _init(fg, x0, lbb, ubb, params, axis_name)
+        return _init(fg, x0, lbb, ubb, params, axis_name, gcp_fn)
 
     def step(c: LBFGSBState) -> LBFGSBState:
         dtype = c.x.dtype
@@ -125,7 +137,8 @@ def solver(fun: Optional[Callable] = None,
         ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), c.x.shape)
         return freeze_when(
             c.done, c,
-            lambda s: _body(fg, search, s, lbb, ubb, params, axis_name))
+            lambda s: _body(fg, search, s, lbb, ubb, params, axis_name,
+                            gcp_fn, unroll_subspace))
 
     def run(c: LBFGSBState) -> LBFGSBState:
         return lax.while_loop(lambda s: ~s.done, step, c)
@@ -138,7 +151,7 @@ def solver(fun: Optional[Callable] = None,
     return Solver(init=init, step=step, finalize=finalize, run=run)
 
 
-def _init(fg, x0, lb, ub, params, axis_name):
+def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point):
     dtype = x0.dtype
     n = x0.shape[0]
     fpast = params.past
@@ -162,7 +175,7 @@ def _init(fg, x0, lb, ub, params, axis_name):
         base = hist0.base._replace(s=coll.pvary(hist0.base.s, axis_name),
                                    y=coll.pvary(hist0.base.y, axis_name))
         hist0 = hist0._replace(base=base)
-    cp0 = cauchy.cauchy_point(hist0, x0, grad0, lb, ub, axis_name)
+    cp0 = gcp_fn(hist0, x0, grad0, lb, ub, axis_name)
     d0 = cp0.xcp - x0
     d0_norm = coll.pnorm(d0, axis_name)
     drt0 = jnp.where(d0_norm > 0.0, d0 / jnp.where(d0_norm > 0.0, d0_norm,
@@ -178,7 +191,8 @@ def _init(fg, x0, lb, ub, params, axis_name):
         nfev=jnp.ones((), jnp.int32))
 
 
-def _body(fg, search, c, lb, ub, params, axis_name):
+def _body(fg, search, c, lb, ub, params, axis_name,
+          gcp_fn=cauchy.cauchy_point, unroll_subspace=False):
     """One outer iteration (LBFGSB.h:171-258)."""
     dtype = c.x.dtype
     n = c.x.shape[0]
@@ -240,10 +254,11 @@ def _body(fg, search, c, lb, ub, params, axis_name):
     # terminating iteration the reference returns the line-search x
     # before re-projecting, so keep ls.x when done.
     x_next = force_bounds(ls.x, lb, ub)
-    cp = cauchy.cauchy_point(hist, x_next, ls.grad, lb, ub, axis_name)
+    cp = gcp_fn(hist, x_next, ls.grad, lb, ub, axis_name)
     drt_next = subspace.subspace_minimize(
         hist, x_next, cp.xcp, ls.grad, lb, ub, cp.vecc,
-        cp.newact_mask, cp.free_mask, params.max_submin, axis_name)
+        cp.newact_mask, cp.free_mask, params.max_submin, axis_name,
+        unroll=unroll_subspace)
 
     return LBFGSBState(
         k=jnp.where(done, c.k, c.k + 1),

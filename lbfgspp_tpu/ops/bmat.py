@@ -100,17 +100,26 @@ def _dense_inv(a: Array) -> Array:
     aug = jnp.concatenate([a, jnp.eye(n, dtype=dtype)], axis=1)
 
     def body(k, aug):
+        # One-hot row swap: traced pivot index p would otherwise become a
+        # batched gather/scatter under vmap.  Written values are identical.
         col = jnp.where(rows >= k, jnp.abs(aug[:, k]), -1.0)
         p = jnp.argmax(col)
-        rowk, rowp = aug[k], aug[p]
-        aug = aug.at[k].set(rowp).at[p].set(rowk)
-        piv = aug[k, k]
+        ep = (rows == p)[:, None]
+        ek = (rows == k)[:, None]
+        rowk = aug[k]
+        rowp = jnp.sum(jnp.where(ep, aug, 0.0), axis=0)
+        aug = jnp.where(ek, rowp[None, :], jnp.where(ep, rowk[None, :], aug))
+        piv = rowp[k]
         piv = jnp.where(piv == 0.0, jnp.ones((), dtype), piv)
-        rowk = aug[k] / piv
-        factors = aug[:, k].at[k].set(0.0)
-        return aug.at[k].set(rowk) - jnp.outer(factors, rowk)
+        newk = aug[k] / piv
+        factors = jnp.where(rows == k, 0.0, aug[:, k])
+        return jnp.where(ek, newk[None, :], aug - jnp.outer(factors, newk))
 
-    aug = lax.fori_loop(0, n, body, aug)
+    # Statically unrolled (n = 2m = 12 by default): identical arithmetic to
+    # a fori_loop, but XLA fuses the whole elimination into one kernel —
+    # under vmap the loop-control overhead dominated the batched box solve.
+    for k in range(n):
+        aug = body(k, aug)
     return aug[:, n:]
 
 
@@ -356,6 +365,12 @@ def apply_ptbqv(bh: BHistory, p_mask: Array, q_mask: Array, v: Array,
     mv = apply_mv(bh, rhs)
     res = w_matvec(bh, mv)
     return jnp.where(p_mask, -res, 0.0)
+
+
+def w_rows(bh: BHistory) -> Array:
+    """All rows of W as [n, 2m] (coordinate order, no gather) — the
+    prefix-GCP path consumes them through a one-hot permutation matmul."""
+    return jnp.concatenate([bh.base.y.T, bh.base.s.T * bh.theta], axis=1)
 
 
 def w_columns(bh: BHistory, idx: Array) -> Array:

@@ -158,3 +158,147 @@ def cauchy_point(bh: bmat.BHistory, x0: Array, g: Array,
 
     return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
                         free_mask=free_mask)
+
+
+def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
+                        lb: Array, ub: Array,
+                        axis_name: Optional[str] = None) -> CauchyResult:
+    """GCP with the interval walk re-expressed as *parallel prefix sums* —
+    the batch-mode fast path (same math as :func:`cauchy_point`, no
+    sequential scan).
+
+    The reference walk (Cauchy.h:183-256) updates ``(vecc, vecp, fp, fpp)``
+    coordinate by coordinate in sorted break-point order.  Each update is
+    affine in the running state, so the entire no-stop trajectory has a
+    closed form in terms of prefix sums over the sorted coordinates:
+
+        P_j   = vecp0 + sum_{k<=j} g_k w_k
+        C_j   = T_j vecp0 + sum_{k<j} g_k (T_j - T_k) w_k
+        fpp_j = fpp0 - cumsum[ theta g_i^2 + 2 g_i (u_i . P_{i-1})
+                               + g_i^2 K_ii ]
+        fp_j  = fp0 + cumsum[ dt_i fpp_{i-1} ]
+                    + cumsum[ g_i^2 + theta g_i z_i - g_i (u_i . C_i) ]
+
+    with ``u_i = M w_i`` and ``K = (W M) W'`` — everything becomes
+    triangular-masked matmuls and cumulative sums (MXU work, zero
+    sequential steps), and the walk's stop condition is evaluated for all
+    positions at once; the first position where it fires selects the
+    prefix state, exactly as the sequential walk would.  The permutation
+    into sorted order is applied as a one-hot matmul, not a gather
+    (batched gathers lower poorly on TPU).
+
+    Summation order differs from the sequential walk by reassociation, so
+    this path is opt-in (``gcp="prefix"``); ``tests/test_cauchy_subspace.py``
+    checks it against the scan walk on randomized cases.  Memory is
+    O(n^2) per instance (the K matrix) — intended for the batched
+    small/medium-n regime.
+    """
+    del axis_name
+    n = x0.shape[0]
+    m = bh.m
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    eps = jnp.finfo(dtype).eps
+    theta = bh.theta
+    hp = lax.Precision.HIGHEST
+
+    # --- Break points and initial direction (Cauchy.h:111-129) ---
+    pinned = lb == ub
+    brk = jnp.where(
+        pinned, 0.0,
+        jnp.where(g < 0.0, (x0 - ub) / g,
+                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
+    iszero = brk == 0.0
+    vecd = jnp.where(iszero, 0.0, -g)
+    free0 = brk == inf
+    participates = (~free0) & (~iszero)
+    nord = jnp.sum(participates)
+
+    # --- Stable ranks by comparison counting (no sort/gather) ---
+    key = jnp.where(participates, brk, inf)
+    idx = jnp.arange(n)
+    lt_mask = (key[None, :] < key[:, None])
+    tie_before = (key[None, :] == key[:, None]) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum(lt_mask | tie_before, axis=1)          # [n] coord -> pos
+    q = (rank[None, :] == idx[:, None]).astype(dtype)     # [n, n] one-hot
+    valid = idx < nord
+
+    # Sorted-order quantities via the permutation matmul.
+    t_s = q @ jnp.where(participates, brk, 0.0)           # invalid rows -> 0
+    g_s = q @ jnp.where(participates, g, 0.0)
+    bound = jnp.where(vecd > 0.0, ub, lb)
+    z_s = q @ jnp.where(participates, bound - x0, 0.0)
+    w = bmat.w_rows(bh)                                   # [n, 2m]
+    w_s = jnp.einsum("sn,nk->sk", q, w, precision=hp)
+
+    # --- Initial fp / fpp (Cauchy.h:150-161) ---
+    vecp0 = bmat.apply_wtv(bh, vecd)
+    fp0 = -coll.psqnorm(vecd)
+    fpp0 = -theta * fp0 - vecp0 @ bmat.apply_mv(bh, vecp0)
+
+    mdense = bh.mdense
+    u_s = jnp.einsum("sk,kl->sl", w_s, mdense, precision=hp)   # rows M w_i
+    kmat = jnp.einsum("sk,tk->st", u_s, w_s, precision=hp)     # K = W M W'
+
+    gg = g_s * g_s
+    kdiag = jnp.diagonal(kmat)
+    low = jnp.tril(jnp.ones((n, n), dtype), k=-1)
+    a_vec = jnp.einsum("st,t->s", kmat * low, g_s, precision=hp)
+    b_vec = jnp.einsum("st,t->s", kmat * low, g_s * t_s, precision=hp)
+    uv0 = u_s @ vecp0                                          # u_i . vecp0
+
+    # fpp prefix
+    dec = theta * gg + 2.0 * g_s * (uv0 + a_vec) + gg * kdiag
+    fpp_pref = fpp0 - jnp.cumsum(dec)                          # fpp_j
+    fpp_prev = jnp.concatenate([fpp0[None], fpp_pref[:-1]])    # fpp_{j-1}
+
+    # fp prefix: segment advances + per-coordinate terms
+    t_prev = jnp.concatenate([jnp.zeros((1,), dtype), t_s[:-1]])
+    dt = jnp.where(valid, t_s - t_prev, 0.0)
+    ucj = t_s * (uv0 + a_vec) - b_vec                          # u_i . C_i
+    per = jnp.where(valid, gg + theta * g_s * z_s - g_s * ucj, 0.0)
+    fp_pref = fp0 + jnp.cumsum(dt * fpp_prev) + jnp.cumsum(per)
+    fp_prev = jnp.concatenate([fp0[None], fp_pref[:-1]])
+
+    # --- Stop condition, evaluated everywhere at once ---
+    deltatmin_prev = -fp_prev / fpp_prev
+    stop = valid & (dt > 0.0) & (deltatmin_prev < dt)
+    any_stop = jnp.any(stop)
+    jstar = jnp.argmax(stop)                                   # first stop
+    ncross = jnp.where(any_stop, jstar, nord)
+
+    crossed_s = idx < ncross
+    crossed = jnp.einsum("sn,s->n", q, crossed_s.astype(dtype),
+                         precision=hp) > 0.5
+    ncrossed = jnp.sum(crossed)
+    nfree0 = jnp.sum(free0)
+    crossed_all = (nfree0 == 0) & (ncrossed == nord)
+
+    # State after the last crossed coordinate (index ncross - 1).
+    last = ncross - 1
+    onehot_last = (idx == last).astype(dtype)
+    fp = jnp.where(ncross == 0, fp0, onehot_last @ fp_pref)
+    fpp = jnp.where(ncross == 0, fpp0, onehot_last @ fpp_pref)
+    il = jnp.where(ncross == 0, jnp.zeros((), dtype), onehot_last @ t_s)
+    cg = jnp.where(crossed_s, g_s, 0.0)
+    vecp_l = vecp0 + jnp.einsum("s,sk->k", cg, w_s, precision=hp)
+    vecc_l = il * vecp0 + jnp.einsum("s,sk->k", cg * (il - t_s), w_s,
+                                     precision=hp)
+
+    # fpp ~ 0 rescue (Cauchy.h:258-262)
+    deltatmin = jnp.where(fpp < eps, -fp / eps, -fp / fpp)
+    deltatmin = jnp.maximum(deltatmin, 0.0)
+    tfinal = il + deltatmin
+
+    # Final extension on free + uncrossed coordinates (Cauchy.h:264-282)
+    vecc = jnp.where(crossed_all, vecc_l, vecc_l + deltatmin * vecp_l)
+    free_mask = free0 | (participates & (~crossed))
+    xcp = jnp.where(crossed, bound, x0)
+    extend = free_mask & (~crossed_all)
+    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
+
+    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
+                        free_mask=free_mask)
+
+
+GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix}

@@ -52,9 +52,16 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
                       lb: Array, ub: Array, wd: Array,
                       newact_mask: Array, free_mask: Array,
                       maxit: int,
-                      axis_name: Optional[str] = None) -> Array:
+                      axis_name: Optional[str] = None,
+                      unroll: bool = False) -> Array:
     """Return the search direction ``drt = xsm - x0``
-    (SubspaceMin::subspace_minimize, SubspaceMin.h:122-302)."""
+    (SubspaceMin::subspace_minimize, SubspaceMin.h:122-302).
+
+    ``unroll=True`` replaces the active-set ``lax.while_loop`` with
+    ``maxit`` statically unrolled iterations whose converged instances are
+    frozen by selects — identical values (the freeze mirrors the loop
+    exit), but one fused XLA computation instead of a nested sequential
+    loop, which is what the batched (vmap) box solver wants."""
     dtype = x0.dtype
     eps = jnp.finfo(dtype).eps
     theta = bh.theta
@@ -125,7 +132,14 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
     run_loop = any_free & (~feasible)
     # Skip the loop entirely when the shortcut fired (converged=True seeds).
     init = init._replace(converged=~run_loop)
-    out = lax.while_loop(cond, body, init)
+    if unroll:
+        out = init
+        for _ in range(maxit):
+            nxt = body(out)
+            out = jax.tree.map(
+                lambda a, b: jnp.where(cond(out), b, a), out, nxt)
+    else:
+        out = lax.while_loop(cond, body, init)
 
     # 3-level fallback when the iterations did not converge
     # (SubspaceMin.h:276-296).

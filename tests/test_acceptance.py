@@ -55,10 +55,17 @@ def test_comparison_harness_validates(method):
 
 
 def test_readme_anchor():
-    """README quick-start: n=10, eps=1e-6, max_iter=100."""
+    """README quick-start: n=10, eps=1e-6, max_iter=100.
+
+    22 is correct for the CURRENT reference code: convergence is
+    ``||g|| <= max(eps, eps_rel ||x||)`` (LBFGS.h:137) and the default
+    ``epsilon_rel = 1e-5`` crosses at iteration 22.  The README's
+    published "23 iterations / 1.87948e-19" predates the relative term —
+    with ``epsilon_rel = 0`` this implementation reproduces 23 exactly
+    (tests/test_readme_anchor.py, scripts/eigen_order_study.py)."""
     res = minimize(fun_and_grad=rosenbrock_fg, x0=jnp.zeros((10,)),
                    params=LBFGSParams(epsilon=1e-6, max_iterations=100))
-    assert int(res.niter) == 22     # oracle-exact; reference prints 23
+    assert int(res.niter) == 22     # oracle-exact (see docstring)
     assert float(res.fx) < 1e-12    # reference: 1.87948e-19
     np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-6)
 

@@ -32,9 +32,11 @@ class TestReadmeAnchor:
         assert res.status == Status.CONVERGED_GRAD
         np.testing.assert_allclose(np.asarray(res.x), np.ones(10), atol=1e-6)
         assert float(res.fx) < 1e-10
-        # Reference reports 23 iterations; summation-order rounding may move
-        # the epsilon_rel crossing by an iteration or two.
-        assert 19 <= int(res.niter) <= 27
+        # 22 under the current reference convergence test; the README's 23
+        # predates the epsilon_rel term and is reproduced exactly with
+        # epsilon_rel=0 (tests/test_readme_anchor.py).  AD-vs-hand-written
+        # gradient rounding may still move the crossing by one.
+        assert 21 <= int(res.niter) <= 23
 
     def test_matches_oracle_exactly(self):
         """The JAX solve must agree with the scalar NumPy oracle (same
