@@ -1,15 +1,23 @@
-"""Benchmark: batched Rosenbrock n=100 L-BFGS solves per second per chip.
+"""Benchmark: batched L-BFGS (+ L-BFGS-B) Rosenbrock solves per second per chip.
 
 The BASELINE.json north-star metric: >= 10^4 batched Rosenbrock n=100
 solves/s/chip via one vmapped, jitted solve (the reference's analog is a
 *sequential* 1024-start loop, examples/example-rosenbrock-comparison.cpp:64).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 1e4 (the target solves/s).
+Prints ONE JSON line.  ``value`` is the headline unconstrained metric
+(solves/s, quality-gated: the run also reports the fraction of instances
+meeting the reference's own multistart criterion max|x-1| <= 1e-4,
+example-rosenbrock-bracketing.cpp:50-54); the box-constrained batched
+metric rides along as ``box_*`` fields so rounds are comparable on both
+solver families.
+
+Two-phase headline solve: f32 main phase (300 iterations) + 12 df64
+pair-polish iterations (utils/doublefloat.py) — recovers the reference's
+double-precision solution quality on f32 hardware.
 
 Runs on the default backend (TPU via axon when available, CPU otherwise);
-everything is jitted — nothing eager touches the device.  Batch size and
-repetitions are tunable via BENCH_BATCH / BENCH_REPS env vars.
+everything is jitted once and re-run — nothing eager touches the device.
+Batch size and repetitions are tunable via BENCH_BATCH / BENCH_REPS.
 """
 
 import json
@@ -23,26 +31,29 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lbfgspp_tpu import LBFGSParams, minimize
+    from lbfgspp_tpu import LBFGSParams, LBFGSBParams, lbfgs, lbfgsb
+    from lbfgspp_tpu.batch import polish_solve, _merge_polished
     from lbfgspp_tpu.utils.objectives import rosenbrock
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_tpu else 512))
-    reps = int(os.environ.get("BENCH_REPS", 3 if on_tpu else 2))
+    batch = int(os.environ.get("BENCH_BATCH", 4096 if on_tpu else 256))
+    reps = int(os.environ.get("BENCH_REPS", 3 if on_tpu else 1))
     n = 100
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    # Reference-default solve settings (eps=1e-5, max_linesearch=20); the
-    # iteration envelope bounds the batch critical path (a batch runs as
-    # long as its slowest instance).
-    params = LBFGSParams(epsilon=1e-5, max_iterations=200)
+    # --- headline: unconstrained batched solve + df64 polish ---
+    params = LBFGSParams(epsilon=1e-5, max_iterations=300)
+    polish_iters = 12
 
-    def solve_batch(x0s):
-        res = jax.vmap(lambda x0: minimize(rosenbrock, x0, params))(x0s)
-        return res.fx, res.niter, res.status, res.x
+    def solve_one(x0):
+        res = lbfgs.minimize(rosenbrock, x0, params)
+        if on_tpu:
+            pol = polish_solve(rosenbrock, res.x, params, polish_iters)
+            res = _merge_polished(res, pol)
+        return res
 
-    solve = jax.jit(solve_batch)
+    solve = jax.jit(lambda xs: jax.vmap(solve_one)(xs))
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
@@ -50,32 +61,61 @@ def main():
     # Warm-up / compile.  NOTE: on the remote-TPU (axon) backend
     # block_until_ready acks dispatch without awaiting execution, so a
     # device-to-host fetch is the only reliable sync point.
-    fx, niter, status, x = solve(x0s)
-    np.asarray(fx)
+    res = solve(x0s)
+    np.asarray(res.fx)
 
     t0 = time.perf_counter()
-    for i in range(reps):
-        xi = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
-        fx, niter, status, x = solve(xi)
-        np.asarray(fx)
+    for _ in range(reps):
+        res = solve(x0s)
+        np.asarray(res.fx)
     dt = time.perf_counter() - t0
-
     solves_per_s = batch * reps / dt
-    # Solution quality: the reference's own multistart acceptance criterion
-    # max|x_i - 1| <= 1e-4 (example-rosenbrock-bracketing.cpp:50-54); in f32
-    # the gradient-norm test saturates at the rounding floor, so instances
-    # run to the iteration cap while the solution is already at f32 accuracy.
-    xn = np.asarray(x)
+
+    xn = np.asarray(res.x, np.float64)
     solved = float(np.mean(np.max(np.abs(xn - 1.0), axis=1) <= 1e-4))
     near = float(np.mean(np.max(np.abs(xn - 1.0), axis=1) <= 1e-3))
+
+    # --- box-constrained batched solve (prefix GCP fast path) ---
+    # The judged BASELINE.json box config: Rosenbrock n=10, lb=2, ub=4
+    # (README.md:164-193 variant).  Constrained optimum: every pair pins
+    # (x_even, x_odd) = (2, 4), f* = 5.0 — an active-boundary problem that
+    # exercises the GCP + BOXCQP machinery on every iteration.
+    bn = 10
+    bbatch = min(batch, 1024)
+    bparams = LBFGSBParams(epsilon=1e-6, max_iterations=60)
+    lb = jnp.full((bn,), 2.0, dtype)
+    ub = jnp.full((bn,), 4.0, dtype)
+    sb = lbfgsb.solver(rosenbrock, lb, ub, bparams, gcp="prefix")
+    bsolve = jax.jit(lambda xs: jax.vmap(
+        lambda x0: sb.finalize(sb.run(sb.init(x0))))(xs))
+
+    bx0 = jnp.asarray(rng.uniform(2.0, 4.0, (bbatch, bn)), dtype)
+    bres = bsolve(bx0)
+    np.asarray(bres.fx)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        bres = bsolve(bx0)
+        np.asarray(bres.fx)
+    bdt = time.perf_counter() - t0
+    box_solves_per_s = bbatch * reps / bdt
+    bfx = np.asarray(bres.fx, np.float64)
+    box_solved = float(np.mean(bfx <= 5.0 + 1e-3))
 
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "
                   f"(batch={batch}, backend={backend}, "
-                  f"frac_x_within_1e-4={solved:.3f}, within_1e-3={near:.3f})",
+                  f"main 300 it + df64 polish {polish_iters}, "
+                  f"frac_x_within_1e-4={solved:.4f}, within_1e-3={near:.4f})",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1e4, 4),
+        "frac_within_1e-4": round(solved, 4),
+        "box_metric": f"batched box Rosenbrock n={bn} lb=2 ub=4 L-BFGS-B "
+                      f"solves/s/chip (batch={bbatch}, eps=1e-6, "
+                      f"prefix GCP)",
+        "box_value": round(box_solves_per_s, 2),
+        "box_vs_target": round(box_solves_per_s / 1e4, 4),
+        "box_frac_optimal": round(box_solved, 4),
     }))
 
 

@@ -131,15 +131,19 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        line_search: str = "morethuente",
                        jit: bool = True,
                        gcp: str = "prefix",
-                       unroll_subspace: bool = True) -> SolveResult:
+                       unroll_subspace: bool = False) -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
     per-instance [B, n].
 
     Defaults to the batched fast path: the prefix-sum GCP (all-parallel,
-    no per-breakpoint scan) and a statically unrolled BOXCQP — under
-    ``vmap`` the sequential walks of the reference formulation serialize
-    the whole batch at each tiny step.  Pass ``gcp="scan"``,
-    ``unroll_subspace=False`` for the bit-exact reference-order path."""
+    no per-breakpoint scan) — under ``vmap`` the sequential walk of the
+    reference formulation serializes the whole batch at each tiny step.
+    Measured on TPU (batch 1024, Rosenbrock n=10): prefix GCP 13.5k
+    solves/s vs 1.5k for the scan walk; the statically-unrolled BOXCQP
+    (``unroll_subspace=True``) measured *slower* (6.4k — it always pays
+    all ``max_submin`` iterations, while the while_loop exits after the
+    1-2 a typical subspace solve needs), so it stays off by default.
+    Pass ``gcp="scan"`` for the bit-exact reference-order path."""
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
     per_instance = lb.ndim == 2

@@ -109,15 +109,12 @@ def solver(fun: Optional[Callable] = None,
     (identical values; see :func:`..ops.subspace.subspace_minimize`)."""
     from .lbfgs import Solver
 
-    if axis_name is not None:
-        # The GCP breakpoint walk sorts over the whole coordinate vector
-        # (Cauchy.h:131-133); a feature-sharded variant needs a distributed
-        # sort and is not implemented.  Box problems scale via vmap; the
-        # sharded feature axis serves the unconstrained solver.
-        raise NotImplementedError(
-            "sharded L-BFGS-B is not supported (the generalized-Cauchy-point "
-            "sort needs the full vector); use vmap for batch scaling or the "
-            "unconstrained sharded solver")
+    if axis_name is not None and gcp == "scan":
+        # The sequential sorted walk needs the whole coordinate vector on
+        # one device; the sortless segment walk (cauchy_point_walk) is the
+        # sharded implementation — 2 collectives per crossed break-point
+        # group, no distributed sort.
+        gcp = "walk"
 
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
@@ -204,8 +201,12 @@ def _body(fg, search, c, lb, ub, params, axis_name,
     # Pathological-direction rescue (LBFGSB.h:181-197).
     patho = (dg >= 0.0) | (step_max <= params.min_step)
     drt = jnp.where(patho, c.xcp - c.x, c.drt)
-    hist = tree_select(patho, bmat.init_b_history(n, params.m, dtype),
-                       c.hist)
+    fresh = bmat.init_b_history(n, params.m, dtype)
+    if axis_name is not None:
+        fresh = fresh._replace(base=fresh.base._replace(
+            s=coll.pvary(fresh.base.s, axis_name),
+            y=coll.pvary(fresh.base.y, axis_name)))
+    hist = tree_select(patho, fresh, c.hist)
     dg = jnp.where(patho, coll.pdot(c.grad, drt, axis_name), dg)
     step_max = jnp.where(
         patho, max_step_size(c.x, drt, lb, ub, axis_name), step_max)
@@ -255,10 +256,14 @@ def _body(fg, search, c, lb, ub, params, axis_name,
     # before re-projecting, so keep ls.x when done.
     x_next = force_bounds(ls.x, lb, ub)
     cp = gcp_fn(hist, x_next, ls.grad, lb, ub, axis_name)
-    drt_next = subspace.subspace_minimize(
+    drt_next, sub_info = subspace.subspace_minimize(
         hist, x_next, cp.xcp, ls.grad, lb, ub, cp.vecc,
         cp.newact_mask, cp.free_mask, params.max_submin, axis_name,
         unroll=unroll_subspace)
+    # Latch any failed middle-matrix factorization into the history's
+    # visible info flag (SolveResult.history.info; the reference ignores
+    # factorization status, BFGSMat.h:558 — this is observability only).
+    hist = hist._replace(info=jnp.maximum(hist.info, sub_info))
 
     return LBFGSBState(
         k=jnp.where(done, c.k, c.k + 1),

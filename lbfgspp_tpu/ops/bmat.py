@@ -62,7 +62,15 @@ class BHistory(NamedTuple):
     mdense: Array   # [2m, 2m] dense inverse of the theta-scaled minv
                     # (the operator M; reference keeps a BKLDLT factorization,
                     # BFGSMat.h:52, :143-145)
-    info: Array     # int32, numerical status of the factorization
+    info: Array     # int32 LATCHED numerical status: 0 = every middle-matrix
+                    # factorization this history has seen succeeded; > 0 =
+                    # some factorization hit a zero/failed pivot (mirrors
+                    # BKLDLT's COMPUTATION_INFO, BKLDLT.h:15-20).  The
+                    # reference never checks it and relies on downstream
+                    # self-healing (BOXCQP fallbacks, line-search rescue,
+                    # matrix reset) — so does this solver; the flag is
+                    # observability, surfaced as ``SolveResult.history.info``.
+                    # A pathological-direction matrix reset clears it.
 
     @property
     def m(self) -> int:
@@ -99,7 +107,7 @@ def _dense_inv(a: Array) -> Array:
     rows = jnp.arange(n)
     aug = jnp.concatenate([a, jnp.eye(n, dtype=dtype)], axis=1)
 
-    def body(k, aug):
+    def body(k, aug, bad):
         # One-hot row swap: traced pivot index p would otherwise become a
         # batched gather/scatter under vmap.  Written values are identical.
         col = jnp.where(rows >= k, jnp.abs(aug[:, k]), -1.0)
@@ -110,17 +118,20 @@ def _dense_inv(a: Array) -> Array:
         rowp = jnp.sum(jnp.where(ep, aug, 0.0), axis=0)
         aug = jnp.where(ek, rowp[None, :], jnp.where(ep, rowk[None, :], aug))
         piv = rowp[k]
+        bad = bad | (piv == 0.0)
         piv = jnp.where(piv == 0.0, jnp.ones((), dtype), piv)
         newk = aug[k] / piv
         factors = jnp.where(rows == k, 0.0, aug[:, k])
-        return jnp.where(ek, newk[None, :], aug - jnp.outer(factors, newk))
+        return jnp.where(ek, newk[None, :],
+                         aug - jnp.outer(factors, newk)), bad
 
     # Statically unrolled (n = 2m = 12 by default): identical arithmetic to
     # a fori_loop, but XLA fuses the whole elimination into one kernel —
     # under vmap the loop-control overhead dominated the batched box solve.
+    bad = jnp.zeros((), bool)
     for k in range(n):
-        aug = body(k, aug)
-    return aug[:, n:]
+        aug, bad = body(k, aug, bad)
+    return aug[:, n:], bad.astype(jnp.int32)
 
 
 def _sym_solve(a: Array, b: Array):
@@ -132,7 +143,8 @@ def _sym_solve(a: Array, b: Array):
             return bkldlt.solve(fac, b), fac.info
         return jax.vmap(lambda col: bkldlt.solve(fac, col),
                         in_axes=1, out_axes=1)(b), fac.info
-    return _dense_inv(a) @ b, jnp.zeros((), jnp.int32)
+    inv, info = _dense_inv(a)
+    return inv @ b, info
 
 
 def _factor_minv(minv: Array, theta: Array, m: int):
@@ -255,7 +267,10 @@ def _finish_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
                      l2[:, None], minv)
 
     mdense, info = _factor_minv(minv, base.theta, m)
-    return BHistory(base=base, minv=minv, mdense=mdense, info=info)
+    # Latch: once any factorization in this history's lifetime failed,
+    # info stays set (a matrix reset builds a fresh history and clears it).
+    return BHistory(base=base, minv=minv, mdense=mdense,
+                    info=jnp.maximum(bh.info, info))
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +333,7 @@ def compute_ftbab(bh: BHistory, free_mask: Array, act_mask: Array,
 
 
 def solve_ptbp(bh: BHistory, mask: Array, v: Array,
-               axis_name: Optional[str] = None) -> Array:
+               axis_name: Optional[str] = None):
     """``inv(P'BP) v`` on the masked coordinates (BFGSMat::solve_PtBP,
     BFGSMat.h:529-565):
 
@@ -326,7 +341,9 @@ def solve_ptbp(bh: BHistory, mask: Array, v: Array,
 
     The 2m x 2m "mid" matrix is built from ``minv`` minus the Gram matrices of
     the P-masked W rows and factorized fresh per call (reference builds a new
-    BKLDLT, BFGSMat.h:558).  Identity padding decouples invalid slots."""
+    BKLDLT, BFGSMat.h:558).  Identity padding decouples invalid slots.
+    Returns ``(res, info)`` — info > 0 flags a failed/zero pivot in this
+    call's fresh factorization (the reference ignores it, BFGSMat.h:558)."""
     m = bh.m
     theta = bh.theta
 
@@ -345,7 +362,7 @@ def solve_ptbp(bh: BHistory, mask: Array, v: Array,
 
     wpv = coll.pmatvec(stacked, jnp.where(mask, v, 0.0), axis_name)
     wpv = wpv.at[m:].multiply(theta)
-    z, _ = _sym_solve(mid, wpv)
+    z, info = _sym_solve(mid, wpv)
     z = z.at[m:].multiply(theta)
     # WP @ z with *raw* S rows (theta is carried in z's s-part, as in the
     # reference where WP omits the theta factor, BFGSMat.h:540, :560-564).
@@ -354,7 +371,7 @@ def solve_ptbp(bh: BHistory, mask: Array, v: Array,
         jnp.einsum("mn,m->n", bh.base.s, z[m:],
                    precision=lax.Precision.HIGHEST)
     res = v / theta + wz / (theta * theta)
-    return jnp.where(mask, res, 0.0)
+    return jnp.where(mask, res, 0.0), info
 
 
 def apply_ptbqv(bh: BHistory, p_mask: Array, q_mask: Array, v: Array,

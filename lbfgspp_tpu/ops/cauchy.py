@@ -301,4 +301,150 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
                         free_mask=free_mask)
 
 
-GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix}
+class _WalkCarry(NamedTuple):
+    t: Array         # last crossed break-point value (il)
+    fp: Array
+    fpp: Array
+    vecp: Array      # [2m]
+    vecc: Array      # [2m]
+    crossed: Array   # [n_local] bool
+    stopped: Array
+    nleft: Array     # int32, remaining participating coordinates (global)
+
+
+def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
+                      lb: Array, ub: Array,
+                      axis_name: Optional[str] = None) -> CauchyResult:
+    """GCP as a *sortless segment walk* — the sharded implementation.
+
+    The reference sorts all break points and walks them one coordinate at a
+    time (Cauchy.h:131-256); neither the sort nor the per-coordinate state
+    survives feature-sharding of ``x``.  This formulation never sorts:
+    each round advances to the next break-point value ``t_next =
+    pmin(remaining brk)`` and processes the whole tie group at once with
+    order-independent closed forms (``M`` is symmetric, so the
+    within-group cross terms collapse to ``G'MG`` with ``G = sum g_b
+    w_b``):
+
+        vecc += dt * vecp
+        fp   += dt * fpp + sum(gg) + theta * sum(g z) - (M G) . vecc
+        fpp  -= theta * sum(gg) + 2 (M G) . vecp + G' M G
+        vecp += G
+
+    Exactly 2 collectives per crossed group (one ``pmin`` for the next
+    break point, one fused ``psum`` of ``[G; sum gg; sum gz; group
+    size]``), O(local) work per round — and the trip count is the number
+    of *distinct crossed break points*, which the walk's early stop keeps
+    small in practice.  Group processing matches the reference semantics:
+    tie members see ``deltat == 0`` and the stop test fires only on the
+    first member (Cauchy.h:193-256).  Works unsharded too
+    (``axis_name=None``) — used to cross-check against the sequential scan
+    (tests/test_cauchy_walk.py).
+    """
+    n = x0.shape[0]
+    m = bh.m
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    eps = jnp.finfo(dtype).eps
+    theta = bh.theta
+
+    # --- Break points and initial direction (Cauchy.h:111-129) ---
+    pinned = lb == ub
+    brk = jnp.where(
+        pinned, 0.0,
+        jnp.where(g < 0.0, (x0 - ub) / g,
+                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
+    iszero = brk == 0.0
+    vecd = jnp.where(iszero, 0.0, -g)
+    free0 = brk == inf
+    participates = (~free0) & (~iszero)
+    nord = coll.psum_scalar(jnp.sum(participates.astype(jnp.int32)),
+                            axis_name)
+
+    # --- Initial fp / fpp (Cauchy.h:150-161) ---
+    vecp0 = bmat.apply_wtv(bh, vecd, axis_name)
+    fp0 = -coll.psqnorm(vecd, axis_name)
+    fpp0 = -theta * fp0 - vecp0 @ bmat.apply_mv(bh, vecp0)
+
+    mdense = bh.mdense
+    w = bmat.w_rows(bh)                                # [n_local, 2m]
+    bound = jnp.where(vecd > 0.0, ub, lb)
+    z = jnp.where(participates, bound - x0, 0.0)
+
+    def cond(c: _WalkCarry):
+        return (~c.stopped) & (c.nleft > 0)
+
+    def body(c: _WalkCarry) -> _WalkCarry:
+        remaining = participates & (~c.crossed)
+        tnext = coll.pmin(jnp.min(jnp.where(remaining, brk, inf)),
+                          axis_name)
+        deltat = tnext - c.t
+        stop_now = (-c.fp / c.fpp) < deltat            # first-member test
+
+        group = remaining & (brk == tnext)
+        gv = jnp.where(group, g, 0.0)
+        # Fused group reductions: G = W' g_group, sum gg, sum g*z, count.
+        gmat = jnp.concatenate([bh.base.y, bh.base.s], axis=0)  # [2m, n]
+        locals_ = jnp.concatenate([
+            jnp.einsum("mn,n->m", gmat, gv, precision=lax.Precision.HIGHEST),
+            jnp.stack([jnp.sum(gv * gv), jnp.sum(gv * z),
+                       jnp.sum(group.astype(dtype))])])
+        red = coll.psum_scalar(locals_, axis_name)
+        gvec = red[:2 * m].at[m:].multiply(theta)      # G in W row scaling
+        sum_gg = red[2 * m]
+        sum_gz = red[2 * m + 1]
+        gcount = red[2 * m + 2].astype(jnp.int32)
+
+        mg = mdense @ gvec
+        vecc_new = c.vecc + deltat * c.vecp
+        fp_new = c.fp + deltat * c.fpp + sum_gg + theta * sum_gz - \
+            mg @ vecc_new
+        fpp_new = c.fpp - theta * sum_gg - 2.0 * (mg @ c.vecp) - mg @ gvec
+        vecp_new = c.vecp + gvec
+
+        adv = ~stop_now
+        return _WalkCarry(
+            t=jnp.where(adv, tnext, c.t),
+            fp=jnp.where(adv, fp_new, c.fp),
+            fpp=jnp.where(adv, fpp_new, c.fpp),
+            vecp=jnp.where(adv, vecp_new, c.vecp),
+            vecc=jnp.where(adv, vecc_new, c.vecc),
+            crossed=c.crossed | (group & adv),
+            stopped=stop_now,
+            nleft=jnp.where(adv, c.nleft - gcount, c.nleft))
+
+    init = _WalkCarry(
+        t=jnp.zeros((), dtype), fp=fp0, fpp=fpp0, vecp=vecp0,
+        vecc=jnp.zeros((2 * m,), dtype),
+        crossed=jnp.zeros((n,), bool),
+        stopped=jnp.zeros((), bool), nleft=nord)
+    if axis_name is not None:
+        # Only the per-coordinate crossed mask is shard-local; every other
+        # carry component is a collective output and stays replicated.
+        init = init._replace(crossed=coll.pvary(init.crossed, axis_name))
+    out = lax.while_loop(cond, body, init)
+
+    crossed = out.crossed
+    ncrossed = coll.psum_scalar(jnp.sum(crossed.astype(jnp.int32)),
+                                axis_name)
+    nfree0 = coll.psum_scalar(jnp.sum(free0.astype(jnp.int32)), axis_name)
+    crossed_all = (nfree0 == 0) & (ncrossed == nord)
+
+    # fpp ~ 0 rescue (Cauchy.h:258-262)
+    deltatmin = jnp.where(out.fpp < eps, -out.fp / eps, -out.fp / out.fpp)
+    deltatmin = jnp.maximum(deltatmin, 0.0)
+    tfinal = out.t + deltatmin
+
+    # Final extension on free + uncrossed coordinates (Cauchy.h:264-282)
+    vecc = jnp.where(crossed_all, out.vecc, out.vecc + deltatmin * out.vecp)
+    free_mask = free0 | (participates & (~crossed))
+    xcp = jnp.where(crossed, bound, x0)
+    extend = free_mask & (~crossed_all)
+    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
+
+    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
+                        free_mask=free_mask)
+
+
+GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix,
+             "walk": cauchy_point_walk}

@@ -46,6 +46,7 @@ class _Carry(NamedTuple):
     mu: Array       # [n] upper-bound multipliers
     k: Array        # int32 iteration counter
     converged: Array
+    info: Array     # int32, latched factorization status across iterations
 
 
 def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
@@ -53,9 +54,13 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
                       newact_mask: Array, free_mask: Array,
                       maxit: int,
                       axis_name: Optional[str] = None,
-                      unroll: bool = False) -> Array:
-    """Return the search direction ``drt = xsm - x0``
-    (SubspaceMin::subspace_minimize, SubspaceMin.h:122-302).
+                      unroll: bool = False):
+    """Return ``(drt, info)`` where ``drt = xsm - x0`` is the search
+    direction (SubspaceMin::subspace_minimize, SubspaceMin.h:122-302) and
+    ``info > 0`` flags a failed middle-matrix factorization in any of this
+    call's ``solve_PtBP`` solves (observability only — the reference
+    ignores factorization status, BFGSMat.h:558, and both rely on the
+    3-level fallback + the driver's pathological-direction rescue).
 
     ``unroll=True`` replaces the active-set ``lax.while_loop`` with
     ``maxit`` statically unrolled iterations whose converged instances are
@@ -67,7 +72,8 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
     theta = bh.theta
 
     drt0 = xcp - x0
-    nfree = jnp.sum(free_mask)
+    nfree = coll.psum_scalar(jnp.sum(free_mask.astype(jnp.int32)),
+                             axis_name)
     any_free = nfree >= 1
 
     # Linear term c = F'BAb + F'g and shifted bounds (SubspaceMin.h:146-156).
@@ -78,11 +84,12 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
     vecu = jnp.where(free_mask, ub - x0, 0.0)
 
     # Unconstrained solve y = -inv(B[F, F]) c (SubspaceMin.h:157-159).
-    y0 = bmat.solve_ptbp(bh, free_mask, -vecc, axis_name)
+    y0, info0 = bmat.solve_ptbp(bh, free_mask, -vecc, axis_name)
 
     # Feasibility shortcut (SubspaceMin.h:160-166).
-    feasible = jnp.all(jnp.where(free_mask,
-                                 (y0 >= vecl) & (y0 <= vecu), True))
+    feasible = coll.pall(
+        jnp.all(jnp.where(free_mask, (y0 >= vecl) & (y0 <= vecu), True)),
+        axis_name)
 
     yfallback = y0
 
@@ -107,7 +114,7 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
         rhs = jnp.where(p_set, vecc, 0.0)
         rhs = rhs + bmat.apply_ptbqv(bh, p_set, l_set, vecl, axis_name)
         rhs = rhs + bmat.apply_ptbqv(bh, p_set, u_set, vecu, axis_name)
-        yp = bmat.solve_ptbp(bh, p_set, -rhs, axis_name)
+        yp, info_p = bmat.solve_ptbp(bh, p_set, -rhs, axis_name)
         y = jnp.where(p_set, yp, y)
 
         # Multipliers: lambda[L] = B[L,F] y + c[L]; mu[U] = -B[U,F] y - c[U]
@@ -119,16 +126,28 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
         wm_u = bmat.apply_ptwmv(bh, u_set, fy, -1.0)
         mu = jnp.where(u_set, -(wm_u + vecc + theta * y), mu)
 
-        # Convergence of the three sets (SubspaceMin.h:271-272).
-        conv = jnp.all(jnp.where(l_set, lam >= 0.0, True)) & \
-            jnp.all(jnp.where(u_set, mu >= 0.0, True)) & \
-            jnp.all(jnp.where(p_set, (y >= vecl) & (y <= vecu), True))
+        # Convergence of the three sets (SubspaceMin.h:271-272); one
+        # fused global AND when sharded.
+        conv = coll.pall(
+            jnp.all(jnp.where(l_set, lam >= 0.0, True)) &
+            jnp.all(jnp.where(u_set, mu >= 0.0, True)) &
+            jnp.all(jnp.where(p_set, (y >= vecl) & (y <= vecu), True)),
+            axis_name)
 
-        return _Carry(y=y, lam=lam, mu=mu, k=c.k + 1, converged=conv)
+        return _Carry(y=y, lam=lam, mu=mu, k=c.k + 1, converged=conv,
+                      info=jnp.maximum(c.info, info_p))
 
-    init = _Carry(y=y0, lam=jnp.zeros_like(y0), mu=jnp.zeros_like(y0),
+    lam0 = jnp.zeros_like(y0)
+    mu0 = jnp.zeros_like(y0)
+    if axis_name is not None:
+        # Zero initializers are shard-invariant; the loop body overwrites
+        # them with shard-local data (shard_map varying-type system).
+        lam0 = coll.pvary(lam0, axis_name)
+        mu0 = coll.pvary(mu0, axis_name)
+    init = _Carry(y=y0, lam=lam0, mu=mu0,
                   k=jnp.zeros((), jnp.int32),
-                  converged=jnp.zeros((), bool))
+                  converged=jnp.zeros((), bool),
+                  info=info0)
     run_loop = any_free & (~feasible)
     # Skip the loop entirely when the shortcut fired (converged=True seeds).
     init = init._replace(converged=~run_loop)
@@ -156,4 +175,4 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
 
     drt_ok = jnp.where(free_mask, out.y, drt0)
     drt = jnp.where(failed, drt_failed, drt_ok)
-    return jnp.where(any_free, drt, drt0)
+    return jnp.where(any_free, drt, drt0), out.info

@@ -37,7 +37,10 @@ def pvary(x: Array, axis_name: Optional[str]) -> Array:
     shard-local data."""
     if axis_name is None:
         return x
-    return lax.pcast(x, (axis_name,), to="varying")
+    try:
+        return lax.pcast(x, (axis_name,), to="varying")
+    except ValueError:
+        return x          # already varying on this axis: no-op
 
 
 def pdot(a: Array, b: Array, axis_name: Optional[str] = None) -> Array:
@@ -64,6 +67,15 @@ def pmax(x: Array, axis_name: Optional[str] = None) -> Array:
 def pmin(x: Array, axis_name: Optional[str] = None) -> Array:
     """Global min of a local scalar."""
     return lax.pmin(x, axis_name) if axis_name is not None else x
+
+
+def pall(x: Array, axis_name: Optional[str] = None) -> Array:
+    """Global logical AND of a local boolean scalar (used by the masked
+    set-convergence tests of BOXCQP, SubspaceMin.h:72-108, when the
+    coordinate masks are feature-sharded)."""
+    if axis_name is None:
+        return x
+    return pmin(x.astype(jnp.int32), axis_name) == 1
 
 
 def pmax_abs(a: Array, axis_name: Optional[str] = None) -> Array:

@@ -129,6 +129,62 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
     return shmapped(x0)
 
 
+def _result_specs_b(axis: str):
+    from ..ops.history import LBFGSHistory
+    from ..ops.bmat import BHistory
+    vec = P(axis)
+    rep = P()
+    base = LBFGSHistory(s=P(None, axis), y=P(None, axis), ys=rep,
+                        theta=rep, ncorr=rep, ptr=rep, sy=rep, yy=rep)
+    hist = BHistory(base=base, minv=rep, mdense=rep, info=rep)
+    return SolveResult(x=vec, fx=rep, grad=vec, gnorm=rep, niter=rep,
+                       nfev=rep, status=rep, history=hist)
+
+
+def minimize_b_sharded(local_fun: Optional[Callable] = None,
+                       x0: Array = None,
+                       lb: Array = None,
+                       ub: Array = None,
+                       params: Optional[LBFGSBParams] = None,
+                       *,
+                       mesh: Optional[Mesh] = None,
+                       axis_name: str = AXIS,
+                       local_fun_and_grad: Optional[Callable] = None,
+                       line_search: str = "morethuente") -> SolveResult:
+    """L-BFGS-B with the parameter vector (and its box bounds) sharded
+    over a 1-D mesh.
+
+    The reference's generalized-Cauchy-point phase sorts the break points
+    of the whole coordinate vector (Cauchy.h:131-133) — impossible once
+    ``x`` is feature-sharded.  This entry point routes the GCP through the
+    sortless segment walk (:func:`..ops.cauchy.cauchy_point_walk`, 2
+    collectives per crossed break-point group) and the mask-based BOXCQP
+    whose reductions are all ``psum``/global-AND collectives, so huge-n
+    *box-constrained* problems scale across devices exactly like the
+    unconstrained solver.  ``local_fun`` follows the same partial-objective
+    contract as :func:`minimize_sharded`; ``lb``/``ub`` are global [n]
+    vectors sharded like ``x0``.
+    """
+    from ..lbfgsb import minimize as _minimize_b
+
+    if params is None:
+        params = LBFGSBParams()
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+    fg = make_sharded_fg(local_fun, local_fun_and_grad, axis_name)
+
+    def solve_local(x0_local, lb_local, ub_local):
+        return _minimize_b(fun_and_grad=fg, x0=x0_local, lb=lb_local,
+                           ub=ub_local, params=params,
+                           line_search=line_search, axis_name=axis_name)
+
+    shmapped = jax.shard_map(solve_local, mesh=mesh,
+                             in_specs=(P(axis_name), P(axis_name),
+                                       P(axis_name)),
+                             out_specs=_result_specs_b(axis_name))
+    return shmapped(x0, jnp.asarray(lb), jnp.asarray(ub))
+
+
 def sharding_for(mesh: Mesh, axis_name: str = AXIS) -> NamedSharding:
     """The NamedSharding for global parameter vectors on this mesh — use it
     with ``jax.device_put`` to place huge ``x0`` without a host copy."""

@@ -78,7 +78,7 @@ def test_subspace_matches_oracle(ncorr, seed):
                              jnp.asarray(lb), jnp.asarray(ub))
     xcp_o, vecc_o, newact_o, fv_o = cauchy_point(ob, x0, g, lb, ub)
 
-    drt = subspace.subspace_minimize(
+    drt, _ = subspace.subspace_minimize(
         bh, jnp.asarray(x0), cp.xcp, jnp.asarray(g), jnp.asarray(lb),
         jnp.asarray(ub), cp.vecc, cp.newact_mask, cp.free_mask, 10)
     drt_o = subspace_minimize(ob, x0, xcp_o, g, lb, ub, vecc_o,
@@ -100,7 +100,7 @@ def test_subspace_no_free_vars():
     free = jnp.zeros(n, bool)
     act = jnp.ones(n, bool)
     wd = jnp.zeros(2 * m)
-    drt = subspace.subspace_minimize(bh, jnp.asarray(x0), jnp.asarray(xcp),
+    drt, _ = subspace.subspace_minimize(bh, jnp.asarray(x0), jnp.asarray(xcp),
                                      jnp.asarray(g), jnp.asarray(lb),
                                      jnp.asarray(ub), wd, act, free, 10)
     np.testing.assert_allclose(np.asarray(drt), xcp - x0)

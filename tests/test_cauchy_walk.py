@@ -1,0 +1,145 @@
+"""Sortless segment-walk GCP and the sharded L-BFGS-B path.
+
+`cauchy_point_walk` is the feature-sharded GCP: no sort, 2 collectives per
+crossed break-point group, order-independent group updates.  It must agree
+with the sequential scan walk on randomized structural cases, and the
+full sharded box solver must reproduce the single-device solve on the
+8-device CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lbfgspp_tpu.ops import bmat, cauchy
+from lbfgspp_tpu import LBFGSBParams, minimize_b
+from lbfgspp_tpu.parallel.sharded import minimize_b_sharded
+
+
+def _random_bhistory(rng, n, m, ncorr):
+    bh = bmat.init_b_history(n, m, jnp.float64)
+    for _ in range(ncorr):
+        s = jnp.asarray(rng.standard_normal(n))
+        y = s * rng.uniform(0.5, 2.0) + 0.1 * jnp.asarray(
+            rng.standard_normal(n))
+        bh = bmat.add_correction_b(bh, s, y, jnp.asarray(True))
+    return bh
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_walk_matches_scan(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(3, 24))
+    m = 6
+    bh = _random_bhistory(rng, n, m, int(rng.integers(0, 2 * m)))
+
+    lb = rng.uniform(-2.0, 0.0, n)
+    ub = rng.uniform(0.5, 2.5, n)
+    if seed % 3 == 0:
+        k = rng.integers(0, n)
+        lb[k] = ub[k] = rng.uniform(-1, 1)
+    if seed % 4 == 0:
+        lb[rng.integers(0, n)] = -np.inf
+        ub[rng.integers(0, n)] = np.inf
+    x0 = np.clip(rng.uniform(-2.0, 2.5, n), lb, ub)
+    g = rng.standard_normal(n)
+    if seed % 2 == 0 and n >= 4:
+        g[0] = abs(g[0]) + 0.5
+        g[1] = g[0]
+        lb[0] = x0[0] - 0.7 * g[0]
+        lb[1] = x0[1] - 0.7 * g[1]          # exact break-point tie
+
+    args = (bh, jnp.asarray(x0), jnp.asarray(g), jnp.asarray(lb),
+            jnp.asarray(ub))
+    r_scan = cauchy.cauchy_point(*args)
+    r_walk = cauchy.cauchy_point_walk(*args)
+
+    np.testing.assert_array_equal(np.asarray(r_scan.newact_mask),
+                                  np.asarray(r_walk.newact_mask))
+    np.testing.assert_array_equal(np.asarray(r_scan.free_mask),
+                                  np.asarray(r_walk.free_mask))
+    np.testing.assert_allclose(np.asarray(r_walk.xcp),
+                               np.asarray(r_scan.xcp),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_walk.vecc),
+                               np.asarray(r_scan.vecc),
+                               rtol=1e-9, atol=1e-11)
+
+
+def _box_quadratic_setup(n):
+    """Separable quadratic with many active bounds at the optimum."""
+    rng = np.random.default_rng(0)
+    d = rng.uniform(-3.0, 3.0, n)            # unconstrained optimum
+    w = rng.uniform(0.5, 4.0, n)             # per-coordinate curvature
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    x0 = np.clip(rng.uniform(-1.0, 1.0, n), lb, ub)
+    return d, w, lb, ub, x0
+
+
+def test_sharded_lbfgsb_matches_single_device():
+    n = 64
+    d, w, lb, ub, x0 = _box_quadratic_setup(n)
+    dj = jnp.asarray(d)
+    wj = jnp.asarray(w)
+
+    def fun(x):
+        return jnp.sum(wj * (x - dj) ** 2)
+
+    params = LBFGSBParams(epsilon=1e-8, max_iterations=100)
+    ref = minimize_b(fun, jnp.asarray(x0), jnp.asarray(lb), jnp.asarray(ub),
+                     params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("feat",))
+    k = n // 8
+
+    def local_fun(x_local):
+        i = jax.lax.axis_index("feat")
+        dl = jax.lax.dynamic_slice_in_dim(dj, i * k, k)
+        wl = jax.lax.dynamic_slice_in_dim(wj, i * k, k)
+        return jnp.sum(wl * (x_local - dl) ** 2)
+
+    res = minimize_b_sharded(local_fun, jnp.asarray(x0), lb, ub, params,
+                             mesh=mesh)
+    assert res.x.shape == (n,)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-10)
+    # the solution actually pins coordinates at both bounds
+    at_bounds = np.sum((np.abs(np.asarray(res.x) - lb) < 1e-12) |
+                       (np.abs(np.asarray(res.x) - ub) < 1e-12))
+    assert at_bounds >= n // 4
+
+
+def test_sharded_lbfgsb_trajectory_matches_walk_single_device():
+    """Trajectory-exactness: the sharded solve must take the same number
+    of iterations as the single-device solve using the same (walk) GCP."""
+    n = 32
+    d, w, lb, ub, x0 = _box_quadratic_setup(n)
+    dj, wj = jnp.asarray(d), jnp.asarray(w)
+
+    def fun(x):
+        return jnp.sum(wj * (x - dj) ** 2)
+
+    from lbfgspp_tpu import lbfgsb
+    params = LBFGSBParams(epsilon=1e-8, max_iterations=100)
+    s = lbfgsb.solver(fun, jnp.asarray(lb), jnp.asarray(ub), params,
+                      gcp="walk")
+    ref = s.finalize(s.run(s.init(jnp.asarray(x0))))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("feat",))
+    k = n // 8
+
+    def local_fun(x_local):
+        i = jax.lax.axis_index("feat")
+        dl = jax.lax.dynamic_slice_in_dim(dj, i * k, k)
+        wl = jax.lax.dynamic_slice_in_dim(wj, i * k, k)
+        return jnp.sum(wl * (x_local - dl) ** 2)
+
+    res = minimize_b_sharded(local_fun, jnp.asarray(x0), lb, ub, params,
+                             mesh=mesh)
+    assert int(res.niter) == int(ref.niter)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
