@@ -1,0 +1,38 @@
+# Developer surface for lbfgspp_tpu (the reference ships CMake + Bazel +
+# BCR presubmit, /root/reference/CMakeLists.txt, BUILD.bazel, .bcr/; the
+# Python-framework analog is this Makefile + pyproject.toml + CI matrix).
+
+PY ?= /opt/venv/bin/python
+
+.PHONY: test test-fast bench native wheel examples scaling clean
+
+# Full suite: CPU, f64, 8 virtual devices (as CI runs it).
+test:
+	$(PY) -m pytest tests/ -q
+
+# Quick signal: solver cores + acceptance anchors only.
+test-fast:
+	$(PY) -m pytest tests/test_lbfgs.py tests/test_lbfgsb.py \
+	    tests/test_acceptance.py tests/test_readme_anchor.py -q
+
+# One JSON line; runs on the default backend (TPU when available).
+bench:
+	$(PY) bench.py
+
+# Force a rebuild of the native C++ core (also self-builds on import).
+native:
+	rm -f lbfgspp_tpu/native/libnative.so
+	$(PY) -c "import lbfgspp_tpu.native as n; assert n.available(), n.build_error()"
+
+# Build a wheel (offline; setuptools only).
+wheel:
+	$(PY) -m pip wheel --no-deps --no-build-isolation -w dist .
+
+examples:
+	for e in examples/*.py; do echo "== $$e"; $(PY) $$e || exit 1; done
+
+scaling:
+	$(PY) scripts/bench_scaling.py
+
+clean:
+	rm -rf dist build *.egg-info lbfgspp_tpu/__pycache__

@@ -37,13 +37,38 @@ Array = jax.Array
 
 B_TILE = 256
 
-# EXPERIMENTAL — off by default.  Measured on v5e at batch=4096 Rosenbrock
-# n=100, the compiled kernel reaches 14.4k solves/s vs 18.9k for the
-# restructured XLA path (ops/history.apply_hv): the [B_TILE, m, n] blocks
-# pad m=6 -> 8 sublanes, VMEM caps the tile at 256 instances, and the
-# pallas_call boundary blocks fusion with the surrounding loop body.  The
-# kernel is kept (with interpreter-mode parity tests) as the starting point
-# for a future layout with m on the major axis and larger n tiles.
+# CONCLUSIVE NEGATIVE (round 2) — off by default, with the measurements
+# and roofline math that close the question for this op on this hardware.
+#
+# Two layouts were built and measured on v5e (batch 4096, Rosenbrock
+# n=100, m=6, scan-chained to amortize dispatch):
+#
+#   apply_hv alone:   XLA path 541.6 us | bmn kernel 540.3 us | m-major
+#                     kernel 559.6 us       (identical within noise)
+#   whole solver:     XLA path 22.3k solves/s | bmn kernel 15.2k
+#
+# Roofline: one apply_hv touches s,y = 2*6*100*4 B * 4096 = 19.7 MB
+# (+3.3 MB for v/out); even counting the XLA path's TWO passes, the
+# bandwidth bound at 819 GB/s is ~52 us — the measured 541 us sits 10x
+# above it, i.e. the op is latency/occupancy-bound (100-lane rows at 78%
+# lane utilization, many short ops), NOT bandwidth-bound.  A fused kernel
+# can only remove HBM re-reads, which are ~10% of the real cost — hence
+# the identical microbenchmark times — while the pallas_call boundary
+# breaks XLA's fusion of the surrounding while-loop body, costing ~30% of
+# end-to-end throughput (22.3k -> 15.2k).  The round-1 hypotheses
+# (m-padding, B_TILE cap) were fixed by the m-major [2m, B, n] layout and
+# made no difference, confirming the boundary/latency diagnosis.
+#
+# Large-n regime (n = 2^24, single instance): the op IS bandwidth-bound
+# there, but [2m, n] cannot fit VMEM, so any kernel must tile over n and
+# re-stream s,y for the combine pass exactly like XLA (the combine
+# weights depend on ALL the dots — the two passes are algorithmically
+# mandatory).  The only avoidable traffic is the v re-read, ~8% of bytes;
+# XLA already runs this op at the streaming rate measured in PERF.md.
+#
+# Both kernels are kept compiling + parity-tested (interpreter mode) as
+# infrastructure; flip ENABLED/LAYOUT to re-measure on future hardware
+# where the fusion-boundary or occupancy tradeoffs may differ.
 ENABLED = False
 
 # Run the Pallas kernel in interpreter mode (CPU testing of the fused path).
@@ -169,11 +194,117 @@ def make_apply_hv(a: float):
                 (s, y, ys, theta, ptr, ncorr, sy, yy, v), in_batched))
         msy, msyT, ys_safe, vmask = _prep_masks(ys_b, ptr_b, nc_b, sy_b,
                                                 yy_b, v_b.dtype)
-        out = _batched_fused(s_b, y_b, msy, msyT, yy_b, ys_safe, vmask,
-                             th_b, v_b, a)
+        impl = (_batched_fused_mmajor if LAYOUT == "mmajor"
+                else _batched_fused)
+        out = impl(s_b, y_b, msy, msyT, yy_b, ys_safe, vmask,
+                   th_b, v_b, a)
         return out, True
 
     return apply_hv_cv
+
+
+# ---------------------------------------------------------------------------
+# Attempt 2 (round 2): m-major layout.
+#
+# Round 1's [B_TILE, m, n] blocks pad the m=6 axis to 8 sublanes (33% wasted
+# bytes) and cap the batch tile at 256.  Here the histories are transposed
+# to [2m, B, n] in XLA (s and y packed on the leading axis), so the tiled
+# (sublane, lane) dims are (B_TILE, n) — no m padding, B_TILE=512, and the
+# whole two-pass dataflow (dots -> sweeps -> combine) runs on one VMEM
+# residency of the tile.  Selected via LAYOUT = "mmajor".
+# ---------------------------------------------------------------------------
+
+LAYOUT = "bmn"        # "bmn" (round-1 kernel) | "mmajor" (round-2 kernel)
+# 512 exceeds the 16 MB scoped-VMEM limit at n=100 (19.95 MB with double
+# buffering, measured on v5e); 256 fits.
+B_TILE2 = 256
+
+
+def _kernel_mmajor(h_ref, msy_ref, msyT_ref, yy_ref, ys_ref, vm_ref,
+                   th_ref, v_ref, out_ref, *, a, m):
+    """h_ref: [2m, bt, n] (s rows then y rows, m-major); everything else
+    batched [bt, ...]."""
+    v = v_ref[:]                                   # [bt, n]
+    # Pass 1: the 2m dots ride one multiply + lane reduction per slot.
+    sv_list = []
+    yv_list = []
+    for j in range(m):
+        sv_list.append(jnp.sum(h_ref[j] * v, axis=1))        # [bt]
+        yv_list.append(jnp.sum(h_ref[m + j] * v, axis=1))
+    sv = jnp.stack(sv_list, axis=1)                # [bt, m]
+    yv = jnp.stack(yv_list, axis=1)
+
+    msy = msy_ref[:]
+    msyT = msyT_ref[:]
+    yy = yy_ref[:]
+    ys_safe = ys_ref[:]
+    vmask = vm_ref[:]
+    theta = th_ref[:]                              # [bt, 1]
+
+    rhs_a = a * sv
+    alpha = jnp.zeros_like(sv)
+    for _ in range(m):
+        acc = jnp.sum(msy * alpha[:, None, :], axis=2)
+        alpha = vmask * (rhs_a - acc) / ys_safe
+    base = (a * yv - jnp.sum(yy * alpha[:, None, :], axis=2)) / theta
+    beta = jnp.zeros_like(sv)
+    for _ in range(m):
+        acc = jnp.sum(msyT * (alpha - beta)[:, None, :], axis=2)
+        beta = vmask * (base + acc) / ys_safe
+    w_s = alpha - beta                             # [bt, m]
+    w_y = -alpha / theta
+
+    # Pass 2: combine from the SAME VMEM tile — no second HBM read.
+    out = (a / theta) * v
+    for j in range(m):
+        out = out + w_s[:, j:j + 1] * h_ref[j]
+        out = out + w_y[:, j:j + 1] * h_ref[m + j]
+    out_ref[:] = out
+
+
+def _batched_fused_mmajor(s, y, msy, msyT, yy, ys_safe, vmask, theta, v, a):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, m, n = s.shape
+    bt = min(B_TILE2, b)
+    pad = (-b) % bt
+    if pad:
+        def padb(x, fill=0.0):
+            cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg, constant_values=fill)
+        s, y, msy, msyT, yy, v = (padb(x) for x in (s, y, msy, msyT, yy, v))
+        ys_safe = padb(ys_safe, 1.0)
+        vmask = padb(vmask)
+        theta = padb(theta, 1.0)
+    bp = s.shape[0]
+
+    # m-major packing: [2m, B, n] — one XLA transpose, then the kernel's
+    # tiled dims are (B_TILE, n) with no m padding.
+    h = jnp.concatenate([jnp.transpose(s, (1, 0, 2)),
+                         jnp.transpose(y, (1, 0, 2))], axis=0)
+
+    def bspec(shape_tail):
+        return pl.BlockSpec((bt,) + shape_tail,
+                            lambda i: (i,) + (0,) * len(shape_tail),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_mmajor, a=a, m=m),
+        grid=(bp // bt,),
+        in_specs=[
+            pl.BlockSpec((2 * m, bt, n), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),      # h [2m, bt, n]
+            bspec((m, m)), bspec((m, m)), bspec((m, m)),
+            bspec((m,)), bspec((m,)),
+            bspec((1,)),                                # theta [bt, 1]
+            bspec((n,)),                                # v
+        ],
+        out_specs=bspec((n,)),
+        out_shape=jax.ShapeDtypeStruct((bp, n), v.dtype),
+        interpret=INTERPRET,
+    )(h, msy, msyT, yy, ys_safe, vmask, theta[:, None], v)
+    return out[:b] if pad else out
 
 
 # Cache one custom-vmap function per static scale value.

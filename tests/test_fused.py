@@ -90,3 +90,27 @@ def test_fused_available_gating():
     # On the CPU test backend the fused path must be off by default.
     assert not fused.fused_available(jnp.float64, None)
     assert not fused.fused_available(jnp.float32, "feat")
+
+
+@pytest.mark.parametrize("batch,ncorrs", [
+    (4, (0, 1, 3, 6)),
+    (5, (6, 9, 2, 7, 6)),
+])
+def test_fused_mmajor_matches_xla_interpret(batch, ncorrs, monkeypatch):
+    """Round-2 m-major kernel ([2m, B, n] packing): bit-level parity with
+    the XLA path in interpreter mode, including padding/tiling."""
+    n, m = 24, 6
+    monkeypatch.setattr(fused, "INTERPRET", True)
+    monkeypatch.setattr(fused, "B_TILE2", 4)
+    hist = batched_history(batch, n, m, ncorrs)
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((batch, n)))
+
+    want = jax.vmap(lambda h, vv: H.apply_hv(h, vv, -1.0))(hist, v)
+
+    got = fused._batched_fused_mmajor(
+        hist.s, hist.y,
+        *_masks(hist, v.dtype),
+        hist.theta, v, -1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-13)
