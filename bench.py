@@ -11,7 +11,7 @@ example-rosenbrock-bracketing.cpp:50-54); the box-constrained batched
 metric rides along as ``box_*`` fields so rounds are comparable on both
 solver families.
 
-Two-phase headline solve: f32 main phase (300 iterations) + 12 df64
+Two-phase headline solve: f32 main phase (250 iterations) + 12 df64
 pair-polish iterations (utils/doublefloat.py) — recovers the reference's
 double-precision solution quality on f32 hardware.
 
@@ -43,7 +43,7 @@ def main():
     dtype = jnp.float32 if on_tpu else jnp.float64
 
     # --- headline: unconstrained batched solve + df64 polish ---
-    params = LBFGSParams(epsilon=1e-5, max_iterations=300)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=250)
     polish_iters = 12
 
     def solve_one(x0):
@@ -104,7 +104,7 @@ def main():
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "
                   f"(batch={batch}, backend={backend}, "
-                  f"main 300 it + df64 polish {polish_iters}, "
+                  f"main 250 it + df64 polish {polish_iters}, "
                   f"frac_x_within_1e-4={solved:.4f}, within_1e-3={near:.4f})",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",

@@ -17,9 +17,15 @@ Array = jax.Array
 def rosenbrock(x: Array) -> Array:
     """Pairwise Rosenbrock from the reference examples
     (examples/example-rosenbrock.cpp:14-29): for even i,
-    ``f += (1 - x_i)^2 + (10 (x_{i+1} - x_i^2))^2``."""
-    xe = x[0::2]
-    xo = x[1::2]
+    ``f += (1 - x_i)^2 + (10 (x_{i+1} - x_i^2))^2``.
+
+    Implementation note: the pairs are accessed via ``reshape(-1, 2)``
+    instead of strided ``x[0::2]`` slicing — identical values and
+    summation order, but the AD transpose of a strided slice is a scatter,
+    which lowers ~7x slower on TPU (PERF.md)."""
+    p = x.reshape(-1, 2)
+    xe = p[:, 0]
+    xo = p[:, 1]
     t1 = 1.0 - xe
     t2 = 10.0 * (xo - xe * xe)
     return jnp.sum(t1 * t1 + t2 * t2)
@@ -27,8 +33,9 @@ def rosenbrock(x: Array) -> Array:
 
 def rosenbrock_fg(x: Array):
     """Value and hand-written gradient (example-rosenbrock.cpp:18-27)."""
-    xe = x[0::2]
-    xo = x[1::2]
+    p = x.reshape(-1, 2)
+    xe = p[:, 0]
+    xo = p[:, 1]
     t1 = 1.0 - xe
     t2 = 10.0 * (xo - xe * xe)
     fx = jnp.sum(t1 * t1 + t2 * t2)
