@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import pytest
 
 from lbfgspp_tpu import LBFGSParams, minimize
+from lbfgspp_tpu.types import Status
 from lbfgspp_tpu.utils.objectives import rosenbrock_fg
 
 SWEEP_PARAMS = LBFGSParams(epsilon=1e-6, max_iterations=400,
@@ -94,3 +95,43 @@ def test_unconstrained_matches_scipy_quality(seed):
     out = sp_min(lambda x: (0.5 * x @ a @ x + b @ x, a @ x + b), x0,
                  jac=True, method="L-BFGS-B")
     assert float(res.fx) <= out.fun + 1e-8
+
+
+def test_quadratic_n1e4_bracketing():
+    """BASELINE.json judged config: convex quadratic n=1e4 with the
+    bracketing line search (the reference's line-search-comparison example
+    pairing, example-rosenbrock-comparison.cpp + example-quadratic.cpp).
+    A quadratic with exact line search converges in very few iterations;
+    assert exact-solution recovery and a tight iteration count."""
+    n = 10_000
+    d = jnp.arange(n, dtype=jnp.float64)
+
+    def quad(x):
+        r = x - d
+        return jnp.sum(r * r)
+
+    res = minimize(quad, jnp.zeros((n,)),
+                   LBFGSParams(epsilon=1e-8, max_iterations=50),
+                   line_search="bracketing")
+    assert int(res.status) == int(Status.CONVERGED_GRAD)
+    assert int(res.niter) <= 10
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(d),
+                               rtol=0, atol=1e-6)
+
+    # moderately ill-conditioned variant: anisotropic diagonal quadratic
+    # (condition 1e2; at 1e4 the 400-iteration budget is legitimately
+    # insufficient for m=6 L-BFGS at these gradient scales)
+    w = jnp.asarray(np.geomspace(1.0, 1e2, n))
+
+    def quad2(x):
+        r = x - d
+        return jnp.sum(w * r * r)
+
+    res2 = minimize(quad2, jnp.zeros((n,)),
+                    LBFGSParams(epsilon=1e-2, epsilon_rel=0.0,
+                                max_iterations=600),
+                    line_search="bracketing")
+    assert int(res2.status) == int(Status.CONVERGED_GRAD)
+    rel = np.max(np.abs(np.asarray(res2.x) - np.asarray(d)) /
+                 (1.0 + np.asarray(d)))
+    assert rel < 1e-4

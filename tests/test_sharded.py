@@ -130,3 +130,66 @@ def test_device_put_with_sharding_for(mesh):
     res = minimize_sharded(quadratic, x0, LBFGSParams(epsilon=1e-8),
                            mesh=mesh)
     assert int(res.status) in (1, 2)
+
+
+def test_2d_mesh_batch_by_feature():
+    """Compose the two parallel axes on one 2-D mesh: batch-parallel
+    instances (data axis) x feature-sharded vectors (model axis) — the
+    dp x tp layout of a production fleet.  4 x 2 virtual devices: each
+    batch shard runs its instances with x sharded over 2 feature shards;
+    results must match the plain single-device vmap solve."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from lbfgspp_tpu import LBFGSParams, lbfgs
+    from lbfgspp_tpu.parallel import collectives as coll
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("batch", "feat"))
+    B, n = 8, 32
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)))
+    x0 = jnp.zeros((B, n))
+    params = LBFGSParams(epsilon=1e-10, max_iterations=60)
+
+    # reference: plain vmap, one device
+    def fg_full(x, di):
+        r = x - di
+        return jnp.sum(r * r * (1.0 + 0.1 * di * di)), \
+            2.0 * r * (1.0 + 0.1 * di * di)
+
+    ref = jax.vmap(lambda x, di: lbfgs.minimize(
+        fun_and_grad=lambda xx: fg_full(xx, di), x0=x, params=params))(x0, d)
+
+    # 2-D: shard_map over both axes; each batch shard vmaps over its local
+    # instances, each instance feature-sharded over "feat".  check_vma is
+    # off: the per-shard data varies over "batch", and lax.cond branches in
+    # the line search carry inconsistent varying-axis annotations relative
+    # to that second manual axis (a type-system artifact, not a numerics
+    # issue — correctness is asserted against the plain vmap solve below).
+    def solve_local(x0_local, d_local):
+        def one(x_loc, d_loc):
+            def fg(x):
+                r = x - d_loc
+                w = 1.0 + 0.1 * d_loc * d_loc
+                return coll.psum_scalar(jnp.sum(r * r * w), "feat"), \
+                    2.0 * r * w
+            return lbfgs.minimize(fun_and_grad=fg, x0=x_loc, params=params,
+                                  axis_name="feat")
+        return jax.vmap(one)(x0_local, d_local)
+
+    from lbfgspp_tpu.parallel.sharded import _result_specs
+    spec_in = P("batch", "feat")
+    out_spec = jax.tree.map(
+        lambda s: P(*(("batch",) + tuple(sn for sn in s))),
+        _result_specs("feat"),
+        is_leaf=lambda s: isinstance(s, P))
+    shm = jax.jit(jax.shard_map(solve_local, mesh=mesh,
+                                in_specs=(spec_in, spec_in),
+                                out_specs=out_spec, check_vma=False))
+    res = shm(x0, d)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
