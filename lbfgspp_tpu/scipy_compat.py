@@ -1,0 +1,164 @@
+"""Drop-in ``scipy.optimize.minimize``-style front end.
+
+Users migrating from the reference library often sit behind a
+``scipy.optimize`` call site; this module adapts that contract onto the
+JAX solvers so switching frameworks is a one-line import change:
+
+    from lbfgspp_tpu.scipy_compat import minimize
+    out = minimize(f, x0, jac=True, bounds=[(0, None)] * n,
+                   options={"maxiter": 200, "gtol": 1e-6})
+
+Semantics map (scipy name -> this framework / reference):
+
+==============  =====================================================
+``maxcor``      history size ``m`` (Param.h:86)
+``gtol``        ``epsilon``: gradient-norm tolerance (Param.h:95;
+                projected-gradient inf-norm in the box case,
+                LBFGSB.h:62-65)
+``maxiter``     ``max_iterations`` (Param.h:117)
+``maxls``       ``max_linesearch`` (Param.h:133)
+``ftol``        objective-decrease tolerance ``delta`` with
+                ``past=1`` (Param.h:104-115) — the reference's analog
+                of scipy's relative-decrease test
+``eps_rel``     extension: ``epsilon_rel`` (Param.h:99)
+==============  =====================================================
+
+The solve itself is the jittable JAX program — ``fun`` must therefore be
+a JAX-traceable pure function (NumPy-only objectives can be wrapped with
+``jax.pure_callback`` by the caller).  Unlike scipy, the returned ``x``
+is a ``jax.Array``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .params import LBFGSParams, LBFGSBParams
+from .types import Status
+from . import lbfgs as _lbfgs
+from . import lbfgsb as _lbfgsb
+
+__all__ = ["minimize", "OptimizeResult"]
+
+
+class OptimizeResult(dict):
+    """Attribute-accessible result dict mirroring
+    ``scipy.optimize.OptimizeResult``."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+    __setattr__ = dict.__setitem__
+
+
+_MESSAGES = {
+    int(Status.RUNNING): "maximum number of iterations reached",
+    int(Status.CONVERGED_GRAD): "gradient tolerance satisfied",
+    int(Status.CONVERGED_DELTA): "objective decrease below delta",
+    int(Status.MAX_ITERATIONS): "maximum number of iterations reached",
+}
+
+
+def _normalize_bounds(bounds, n):
+    """Accept a scipy ``Bounds`` object or a sequence of (lo, hi) pairs
+    (``None`` meaning unbounded, as scipy does)."""
+    if hasattr(bounds, "lb") and hasattr(bounds, "ub"):
+        lb = np.broadcast_to(np.asarray(bounds.lb, np.float64), (n,))
+        ub = np.broadcast_to(np.asarray(bounds.ub, np.float64), (n,))
+        return np.array(lb), np.array(ub)
+    lb = np.empty(n)
+    ub = np.empty(n)
+    for i, pair in enumerate(bounds):
+        lo, hi = pair
+        lb[i] = -np.inf if lo is None else lo
+        ub[i] = np.inf if hi is None else hi
+    return lb, ub
+
+
+def minimize(fun: Callable,
+             x0,
+             args: tuple = (),
+             method: Optional[str] = None,
+             jac=None,
+             bounds: Optional[Sequence] = None,
+             tol: Optional[float] = None,
+             options: Optional[dict] = None) -> OptimizeResult:
+    """``scipy.optimize.minimize``-compatible entry point.
+
+    ``method`` may be ``None`` (auto: L-BFGS-B when ``bounds`` given,
+    else L-BFGS), ``"L-BFGS"`` or ``"L-BFGS-B"``.  ``jac=True`` means
+    ``fun`` returns ``(fx, grad)``; a callable ``jac`` is evaluated
+    alongside ``fun``; ``jac=None`` uses JAX autodiff.
+    """
+    options = dict(options or {})
+    x0 = jnp.asarray(x0)
+    n = x0.shape[-1]
+
+    if method is None:
+        method = "L-BFGS-B" if bounds is not None else "L-BFGS"
+    method = method.upper()
+    if method not in ("L-BFGS", "L-BFGS-B", "LBFGS", "LBFGSB"):
+        raise ValueError(f"unsupported method {method!r}")
+    boxed = bounds is not None or method in ("L-BFGS-B", "LBFGSB")
+
+    kw = {}
+    if "maxcor" in options:
+        kw["m"] = int(options.pop("maxcor"))
+    if tol is not None and "gtol" not in options:
+        options["gtol"] = tol
+    if "gtol" in options:
+        kw["epsilon"] = float(options.pop("gtol"))
+    if "eps_rel" in options:
+        kw["epsilon_rel"] = float(options.pop("eps_rel"))
+    if "maxiter" in options:
+        kw["max_iterations"] = int(options.pop("maxiter"))
+    if "maxls" in options:
+        kw["max_linesearch"] = int(options.pop("maxls"))
+    if "ftol" in options:
+        kw["delta"] = float(options.pop("ftol"))
+        kw["past"] = int(options.pop("past", 1))
+    elif "past" in options:
+        kw["past"] = int(options.pop("past"))
+    if options:
+        raise ValueError(f"unknown options: {sorted(options)}")
+
+    if jac is True:
+        f_and_g = (lambda x: fun(x, *args)) if args else fun
+        obj = dict(fun_and_grad=f_and_g)
+    elif callable(jac):
+        obj = dict(fun_and_grad=lambda x: (fun(x, *args), jac(x, *args)))
+    else:
+        obj = dict(fun=(lambda x: fun(x, *args)) if args else fun)
+
+    if boxed:
+        if bounds is None:
+            lb = np.full(n, -np.inf)
+            ub = np.full(n, np.inf)
+        else:
+            lb, ub = _normalize_bounds(bounds, n)
+        params = LBFGSBParams(**kw)
+        res = _lbfgsb.minimize(x0=x0, lb=jnp.asarray(lb, x0.dtype),
+                               ub=jnp.asarray(ub, x0.dtype),
+                               params=params, **obj)
+    else:
+        params = LBFGSParams(**kw)
+        res = _lbfgs.minimize(x0=x0, params=params, **obj)
+
+    status = int(res.status)
+    return OptimizeResult(
+        x=res.x, fun=float(res.fx), jac=res.grad,
+        nit=int(res.niter), nfev=int(res.nfev),
+        status=status,
+        # scipy counts hitting maxiter as failure (unlike the reference,
+        # which returns the iterate without complaint)
+        success=status in (int(Status.CONVERGED_GRAD),
+                           int(Status.CONVERGED_DELTA)),
+        message=_MESSAGES.get(status, Status(status).name.lower()),
+        solver_result=res,
+    )

@@ -1,0 +1,102 @@
+"""scipy_compat: the scipy.optimize.minimize-style front end."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lbfgspp_tpu.scipy_compat import minimize
+from lbfgspp_tpu.utils.objectives import rosenbrock, rosenbrock_fg
+
+
+def test_unconstrained_autodiff():
+    out = minimize(rosenbrock, jnp.full((10,), -1.2),
+                   options={"gtol": 1e-6, "maxiter": 200})
+    assert out.success
+    assert out.status == 1
+    np.testing.assert_allclose(np.asarray(out.x), 1.0, atol=1e-5)
+    assert out.nfev >= out.nit
+    assert out.jac.shape == (10,)
+
+
+def test_jac_true_matches_autodiff():
+    x0 = jnp.full((8,), -0.5)
+    a = minimize(rosenbrock, x0, options={"gtol": 1e-8})
+    b = minimize(rosenbrock_fg, x0, jac=True, options={"gtol": 1e-8})
+    assert a.nit == b.nit
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+
+def test_separate_jac_callable():
+    def f(x):
+        return float(0.0) + jnp.sum((x - 3.0) ** 2)
+
+    def g(x):
+        return 2.0 * (x - 3.0)
+
+    out = minimize(f, jnp.zeros(5), jac=g, options={"gtol": 1e-10})
+    np.testing.assert_allclose(np.asarray(out.x), 3.0, atol=1e-8)
+
+
+def test_bounds_select_lbfgsb():
+    # quadratic with minimum outside the box -> clipped solution
+    d = jnp.asarray(np.linspace(-3.0, 3.0, 6))
+    out = minimize(lambda x: jnp.sum((x - d) ** 2), jnp.zeros(6),
+                   bounds=[(-1.0, 1.0)] * 6)
+    np.testing.assert_allclose(np.asarray(out.x),
+                               np.clip(np.asarray(d), -1, 1), atol=1e-6)
+    assert out.success
+
+
+def test_bounds_none_entries_and_scipy_bounds_object():
+    d = jnp.asarray([-2.0, 2.0, 0.5])
+    fun = lambda x: jnp.sum((x - d) ** 2)
+    out = minimize(fun, jnp.zeros(3),
+                   bounds=[(None, 1.0), (None, 1.0), (None, None)])
+    np.testing.assert_allclose(np.asarray(out.x), [-2.0, 1.0, 0.5],
+                               atol=1e-6)
+    scipy = pytest.importorskip("scipy")
+    from scipy.optimize import Bounds
+    out2 = minimize(fun, jnp.zeros(3),
+                    bounds=Bounds([-np.inf] * 3, [1.0, 1.0, np.inf]))
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(out2.x))
+
+
+def test_matches_scipy_result():
+    scipy = pytest.importorskip("scipy")
+    from scipy.optimize import minimize as sp_min
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((6, 6))
+    a = q.T @ q + 6 * np.eye(6)
+    b = rng.standard_normal(6)
+    fun = lambda x: 0.5 * x @ a @ x + b @ x
+    ours = minimize(lambda x: 0.5 * x @ jnp.asarray(a) @ x
+                    + jnp.asarray(b) @ x,
+                    jnp.zeros(6), options={"gtol": 1e-10})
+    ref = sp_min(lambda x: (fun(x), a @ x + b), np.zeros(6), jac=True,
+                 method="L-BFGS-B", options={"gtol": 1e-12, "ftol": 0})
+    assert ours.fun <= ref.fun + 1e-10
+
+
+def test_maxiter_reported_as_failure():
+    out = minimize(rosenbrock, jnp.full((16,), -1.2),
+                   options={"maxiter": 3, "gtol": 1e-12})
+    assert not out.success
+    assert out.nit == 3
+    assert "maximum" in out.message
+
+
+def test_args_and_tol_and_option_mapping():
+    def f(x, shift):
+        return jnp.sum((x - shift) ** 2)
+
+    out = minimize(f, jnp.zeros(4), args=(2.5,), tol=1e-9,
+                   options={"maxcor": 3, "maxls": 30, "ftol": 1e-14})
+    np.testing.assert_allclose(np.asarray(out.x), 2.5, atol=1e-7)
+    assert out.solver_result.history.s.shape[0] == 3  # maxcor -> m
+
+
+def test_unknown_option_raises():
+    with pytest.raises(ValueError, match="unknown options"):
+        minimize(rosenbrock, jnp.zeros(4), options={"bogus": 1})
+    with pytest.raises(ValueError, match="unsupported method"):
+        minimize(rosenbrock, jnp.zeros(4), method="CG")
