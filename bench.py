@@ -101,10 +101,11 @@ def main():
     bfx = np.asarray(bres.fx, np.float64)
     box_solved = float(np.mean(bfx <= 5.0 + 1e-3))
 
+    phase = (f"main 250 it + df64 polish {polish_iters}" if on_tpu
+             else "main 250 it, no polish (cpu)")
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "
-                  f"(batch={batch}, backend={backend}, "
-                  f"main 250 it + df64 polish {polish_iters}, "
+                  f"(batch={batch}, backend={backend}, {phase}, "
                   f"frac_x_within_1e-4={solved:.4f}, within_1e-3={near:.4f})",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",

@@ -46,8 +46,14 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     ``hi``, sub-ulp moves accumulate in ``lo``, and the unchanged f32
     solver machinery recovers reference-grade (double-precision-criterion)
     solutions on f32 hardware.
+
+    The returned ``history`` is an empty [m, n] history (the polish
+    curvature lives in pair space and does not transfer); Hessian
+    accessors on it give ``theta * I``.
     """
     from .utils import doublefloat as dfl
+
+    from .ops import history as hist_ops
 
     fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
     pparams = dataclasses.replace(params, max_iterations=iters)
@@ -58,10 +64,16 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     res2 = s.finalize(s.run(s.init(x2)))
     x = dfl.pair_to_float(res2.x)
     grad = res2.grad[:n]
+    # The polish solver's curvature pairs live in pair space ([m, 2n]);
+    # they are meaningless for the returned [n] iterate, so the result
+    # carries a shape-consistent EMPTY history (ncorr=0 -> B = theta*I)
+    # rather than a mismatched one.  minimize_batched substitutes the
+    # main phase's real history via _merge_polished.
     return SolveResult(x=x, fx=res2.fx, grad=grad,
                        gnorm=jnp.linalg.norm(grad),
                        niter=res2.niter, nfev=res2.nfev,
-                       status=res2.status, history=res2.history)
+                       status=res2.status,
+                       history=hist_ops.init_history(n, params.m, x.dtype))
 
 
 def _merge_polished(res: SolveResult, pol: SolveResult) -> SolveResult:
@@ -97,16 +109,18 @@ def minimize_batched(fun: Optional[Callable] = None,
     the feature axis lives in :mod:`.parallel.sharded`.)
 
     ``polish_iters > 0`` appends a df64 polish phase (:func:`polish_solve`)
-    that warm-starts from each instance's final state and history — on f32
-    hardware this recovers the reference's double-precision solution
-    quality at a few extra iterations' cost.
+    starting from each instance's final iterate (the curvature history
+    restarts — it lives in pair space there) with the same ``line_search``
+    — on f32 hardware this recovers the reference's double-precision
+    solution quality at a few extra iterations' cost.
     """
     def solve_one(x0):
         res = lbfgs.minimize(fun, x0, params, fun_and_grad=fun_and_grad,
                              line_search=line_search)
         if polish_iters:
             pol = polish_solve(fun, res.x, params, polish_iters,
-                               fun_and_grad=fun_and_grad)
+                               fun_and_grad=fun_and_grad,
+                               line_search=line_search)
             res = _merge_polished(res, pol)
         return res
 
@@ -130,23 +144,33 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        fun_and_grad=None,
                        line_search: str = "morethuente",
                        jit: bool = True,
-                       gcp: str = "prefix",
+                       gcp: str = "auto",
                        unroll_subspace: bool = False) -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
     per-instance [B, n].
 
-    Defaults to the batched fast path: the prefix-sum GCP (all-parallel,
-    no per-breakpoint scan) — under ``vmap`` the sequential walk of the
-    reference formulation serializes the whole batch at each tiny step.
+    ``gcp="auto"`` picks the batched fast path — the prefix-sum GCP
+    (all-parallel, no per-breakpoint scan; under ``vmap`` the sequential
+    walk of the reference formulation serializes the whole batch at each
+    tiny step) — when its O(n^2)-per-instance intermediates are cheap
+    (n <= 128), and the memory-lean sequential scan for larger n.
     Measured on TPU (batch 1024, Rosenbrock n=10): prefix GCP 13.5k
     solves/s vs 1.5k for the scan walk; the statically-unrolled BOXCQP
     (``unroll_subspace=True``) measured *slower* (6.4k — it always pays
     all ``max_submin`` iterations, while the while_loop exits after the
     1-2 a typical subspace solve needs), so it stays off by default.
-    Pass ``gcp="scan"`` for the bit-exact reference-order path."""
+    Pass ``gcp="scan"`` for the bit-exact reference-order path at any
+    size, or ``gcp="prefix"`` to force the fast path (reassociated sums,
+    identical index sets)."""
+    x0s = jnp.asarray(x0s)
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
     per_instance = lb.ndim == 2
+    if gcp == "auto":
+        # prefix builds [n, n] per-instance intermediates ([B, n, n] under
+        # vmap) — a big win for the small-n batched regime, an OOM risk
+        # beyond it (B=4096, n=1024 f32 would be ~17 GB per temporary).
+        gcp = "prefix" if x0s.shape[-1] <= 128 else "scan"
 
     def solve_one(x0, lbi, ubi):
         s = lbfgsb.solver(fun, lbi, ubi, params,

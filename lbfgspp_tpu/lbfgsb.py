@@ -87,6 +87,22 @@ class LBFGSBState(NamedTuple):
 _Carry = LBFGSBState
 
 
+def _resolve_gcp(gcp: str, axis_name) -> str:
+    """Route the GCP implementation choice for sharded solves.
+
+    "scan" (the reference's sequential sorted walk, Cauchy.h:131-256) and
+    "prefix" (the closed-form no-stop trajectory) are single-device
+    formulations: both reduce over the full coordinate vector with no
+    collectives, so under feature sharding each shard would silently
+    compute a GCP for its local slice as if it were the whole problem.
+    Any sharded solve therefore routes to the sortless segment walk
+    (cauchy_point_walk) — 2 collectives per crossed break-point group, no
+    distributed sort."""
+    if axis_name is not None and gcp != "walk":
+        return "walk"
+    return gcp
+
+
 def solver(fun: Optional[Callable] = None,
            lb: Array = None,
            ub: Array = None,
@@ -109,12 +125,7 @@ def solver(fun: Optional[Callable] = None,
     (identical values; see :func:`..ops.subspace.subspace_minimize`)."""
     from .lbfgs import Solver
 
-    if axis_name is not None and gcp == "scan":
-        # The sequential sorted walk needs the whole coordinate vector on
-        # one device; the sortless segment walk (cauchy_point_walk) is the
-        # sharded implementation — 2 collectives per crossed break-point
-        # group, no distributed sort.
-        gcp = "walk"
+    gcp = _resolve_gcp(gcp, axis_name)
 
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)

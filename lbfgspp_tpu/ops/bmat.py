@@ -385,8 +385,10 @@ def apply_ptbqv(bh: BHistory, p_mask: Array, q_mask: Array, v: Array,
 
 
 def w_rows(bh: BHistory) -> Array:
-    """All rows of W as [n, 2m] (coordinate order, no gather) — the
-    prefix-GCP path consumes them through a one-hot permutation matmul."""
+    """All rows of W as [n, 2m] (coordinate order, no gather) — the same
+    W-row semantics as ``Wb`` (BFGSMat.h:325-335) materialized for every
+    coordinate at once; the prefix-GCP path consumes them through a
+    one-hot permutation matmul."""
     return jnp.concatenate([bh.base.y.T, bh.base.s.T * bh.theta], axis=1)
 
 

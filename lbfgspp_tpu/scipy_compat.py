@@ -23,6 +23,10 @@ Semantics map (scipy name -> this framework / reference):
 ``eps_rel``     extension: ``epsilon_rel`` (Param.h:99)
 ==============  =====================================================
 
+``disp``/``iprint``/``eps``/``finite_diff_rel_step``/``maxfun`` are
+accepted and ignored (no console output to control; gradients are exact
+autodiff; work is bounded by ``maxiter``/``maxls``).
+
 The solve itself is the jittable JAX program — ``fun`` must therefore be
 a JAX-traceable pure function (NumPy-only objectives can be wrapped with
 ``jax.pure_callback`` by the caller).  Unlike scipy, the returned ``x``
@@ -105,7 +109,12 @@ def minimize(fun: Callable,
     method = method.upper()
     if method not in ("L-BFGS", "L-BFGS-B", "LBFGS", "LBFGSB"):
         raise ValueError(f"unsupported method {method!r}")
-    boxed = bounds is not None or method in ("L-BFGS-B", "LBFGSB")
+    boxed = method in ("L-BFGS-B", "LBFGSB")
+    if bounds is not None and not boxed:
+        # scipy errors rather than silently swapping solvers when the
+        # requested method cannot honor bounds; mirror that.
+        raise ValueError(f"method {method!r} cannot handle bounds; "
+                         "use method='L-BFGS-B' (or method=None)")
 
     kw = {}
     if "maxcor" in options:
@@ -125,6 +134,14 @@ def minimize(fun: Callable,
         kw["past"] = int(options.pop("past", 1))
     elif "past" in options:
         kw["past"] = int(options.pop("past"))
+    # Standard scipy L-BFGS-B options with no analog here are tolerated:
+    # disp/iprint control scipy's console output (none here), eps /
+    # finite_diff_rel_step tune finite differences (gradients are exact
+    # via autodiff), maxfun caps f-evals (this solver bounds work by
+    # maxiter * maxls instead).
+    for ignored in ("disp", "iprint", "eps", "finite_diff_rel_step",
+                    "maxfun"):
+        options.pop(ignored, None)
     if options:
         raise ValueError(f"unknown options: {sorted(options)}")
 

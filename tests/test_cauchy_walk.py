@@ -143,3 +143,20 @@ def test_sharded_lbfgsb_trajectory_matches_walk_single_device():
     assert int(res.niter) == int(ref.niter)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_solver_routes_singledevice_gcp_to_walk():
+    """lbfgsb.solver(axis_name=..., gcp="scan"/"prefix") must route to the
+    segment-walk GCP: scan and prefix are single-device formulations whose
+    reductions carry no collectives, so under sharding each shard would
+    silently compute a GCP for its local slice as if it were the whole
+    problem.  (The walk path itself is exercised end-to-end by the
+    minimize_b_sharded tests above, whose solver default "scan" takes this
+    same routing.)"""
+    from lbfgspp_tpu.lbfgsb import _resolve_gcp
+
+    assert _resolve_gcp("scan", "feat") == "walk"
+    assert _resolve_gcp("prefix", "feat") == "walk"
+    assert _resolve_gcp("walk", "feat") == "walk"
+    for gcp in ("scan", "prefix", "walk"):
+        assert _resolve_gcp(gcp, None) == gcp

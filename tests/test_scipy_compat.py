@@ -100,3 +100,16 @@ def test_unknown_option_raises():
         minimize(rosenbrock, jnp.zeros(4), options={"bogus": 1})
     with pytest.raises(ValueError, match="unsupported method"):
         minimize(rosenbrock, jnp.zeros(4), method="CG")
+
+
+def test_explicit_lbfgs_with_bounds_raises():
+    with pytest.raises(ValueError, match="cannot handle bounds"):
+        minimize(rosenbrock, jnp.zeros(4), method="L-BFGS",
+                 bounds=[(0.0, 1.0)] * 4)
+
+
+def test_standard_scipy_options_tolerated():
+    out = minimize(rosenbrock, jnp.full(4, -0.5),
+                   options={"disp": True, "iprint": 1, "maxfun": 15000,
+                            "eps": 1e-8, "gtol": 1e-6})
+    assert out.success
