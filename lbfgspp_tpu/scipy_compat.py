@@ -45,7 +45,7 @@ from .types import Status
 from . import lbfgs as _lbfgs
 from . import lbfgsb as _lbfgsb
 
-__all__ = ["minimize", "OptimizeResult"]
+__all__ = ["minimize", "fmin_l_bfgs_b", "OptimizeResult"]
 
 
 class OptimizeResult(dict):
@@ -179,3 +179,106 @@ def minimize(fun: Callable,
         message=_MESSAGES.get(status, Status(status).name.lower()),
         solver_result=res,
     )
+
+
+def fmin_l_bfgs_b(func: Callable,
+                  x0,
+                  fprime: Optional[Callable] = None,
+                  args: tuple = (),
+                  approx_grad: bool = False,
+                  bounds: Optional[Sequence] = None,
+                  m: int = 10,
+                  factr: float = 1e7,
+                  pgtol: float = 1e-5,
+                  epsilon: float = 1e-8,
+                  iprint: int = -1,
+                  maxfun: int = 15000,
+                  maxiter: int = 15000,
+                  disp=None,
+                  callback: Optional[Callable] = None,
+                  maxls: int = 20):
+    """``scipy.optimize.fmin_l_bfgs_b``-compatible functional front end.
+
+    Returns the scipy triple ``(x, f, info)`` with ``info`` carrying
+    ``grad / task / funcalls / nit / warnflag``.  Parameter map:
+
+    - ``factr``: scipy's relative objective-decrease tolerance is
+      ``factr * machine_eps``; mapped onto the reference's ``past=1,
+      delta`` test (Param.h:104-115).
+    - ``pgtol`` -> ``epsilon``: both are the projected-gradient inf-norm
+      tolerance (LBFGSB.h:62-65).
+    - ``m``/``maxiter``/``maxls`` -> ``m``/``max_iterations``/
+      ``max_linesearch``.
+    - ``fprime=None`` with ``approx_grad`` false means ``func`` returns
+      ``(fx, grad)`` (scipy's convention); ``approx_grad`` true uses JAX
+      autodiff (exact, in place of scipy's finite differences — the
+      ``epsilon`` step size is accepted and unused).
+    - ``callback(xk)`` is honored per outer iteration by driving the
+      solver through its ``init/step`` surface instead of one fused
+      ``run`` — the per-iteration states are fetched to host, so prefer
+      ``callback=None`` for peak throughput.
+    - ``iprint``/``disp`` are accepted and ignored (no console output);
+      ``maxfun`` is accepted but work is bounded by ``maxiter * maxls``.
+    """
+    x0 = jnp.asarray(x0)
+    n = x0.shape[-1]
+    if bounds is None:
+        lb = np.full(n, -np.inf)
+        ub = np.full(n, np.inf)
+    else:
+        lb, ub = _normalize_bounds(bounds, n)
+
+    if approx_grad:
+        obj = dict(fun=(lambda x: func(x, *args)) if args else func)
+    elif fprime is not None:
+        obj = dict(fun_and_grad=lambda x: (func(x, *args),
+                                           fprime(x, *args)))
+    else:
+        # scipy: func returns (fx, grad) when fprime is absent and
+        # approx_grad is false.
+        f_and_g = (lambda x: func(x, *args)) if args else func
+        obj = dict(fun_and_grad=f_and_g)
+
+    params = LBFGSBParams(
+        m=m,
+        epsilon=float(pgtol),
+        past=1,
+        delta=float(factr) * float(np.finfo(np.float64).eps),
+        max_iterations=int(maxiter),
+        max_linesearch=int(maxls),
+    )
+    lbj = jnp.asarray(lb, x0.dtype)
+    ubj = jnp.asarray(ub, x0.dtype)
+
+    if callback is None:
+        res = _lbfgsb.minimize(x0=x0, lb=lbj, ub=ubj, params=params, **obj)
+    else:
+        import jax
+
+        s = _lbfgsb.solver(lb=lbj, ub=ubj, params=params, **obj)
+        step = jax.jit(s.step)
+        c = s.init(x0)
+        while not bool(c.done):
+            c = step(c)
+            callback(np.asarray(c.x))
+        res = s.finalize(c)
+
+    status = int(res.status)
+    converged = status in (int(Status.CONVERGED_GRAD),
+                           int(Status.CONVERGED_DELTA))
+    if status == int(Status.CONVERGED_GRAD):
+        task = "CONVERGENCE: NORM OF PROJECTED GRADIENT <= PGTOL"
+    elif status == int(Status.CONVERGED_DELTA):
+        task = ("CONVERGENCE: REL_REDUCTION_OF_F <= FACTR*EPSMCH")
+    else:
+        task = "STOP: TOTAL NO. of ITERATIONS REACHED LIMIT"
+    info = {
+        "grad": res.grad,
+        "task": task,
+        "funcalls": int(res.nfev),
+        "nit": int(res.niter),
+        "warnflag": 0 if converged else 1,
+    }
+    return res.x, float(res.fx), info
+
+

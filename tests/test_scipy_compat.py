@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from lbfgspp_tpu.scipy_compat import minimize
+from lbfgspp_tpu.scipy_compat import fmin_l_bfgs_b, minimize
 from lbfgspp_tpu.utils.objectives import rosenbrock, rosenbrock_fg
 
 
@@ -113,3 +113,84 @@ def test_standard_scipy_options_tolerated():
                    options={"disp": True, "iprint": 1, "maxfun": 15000,
                             "eps": 1e-8, "gtol": 1e-6})
     assert out.success
+
+
+def test_fmin_l_bfgs_b_triple_and_conventions():
+    # fprime=None + approx_grad=False: func returns (fx, grad)
+    x, f, info = fmin_l_bfgs_b(rosenbrock_fg, jnp.full((10,), -1.2),
+                               pgtol=1e-8)
+    assert f < 1e-10
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-6)
+    assert info["warnflag"] == 0
+    assert info["task"].startswith("CONVERGENCE")
+    assert info["funcalls"] >= info["nit"] > 0
+    assert info["grad"].shape == (10,)
+
+    # approx_grad=True: plain objective, autodiff gradient
+    x2, f2, info2 = fmin_l_bfgs_b(rosenbrock, jnp.full((10,), -1.2),
+                                  approx_grad=True, pgtol=1e-8)
+    assert info2["nit"] == info["nit"]
+    # hand-written vs autodiff gradient: same trajectory up to last-ulp
+    # gradient rounding differences
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2),
+                               rtol=0, atol=1e-12)
+
+    # separate fprime callable — same gradient function as approx_grad's
+    # autodiff, so bit-identical to x2
+    import jax
+    x3, _, _ = fmin_l_bfgs_b(rosenbrock, jnp.full((10,), -1.2),
+                             fprime=jax.grad(rosenbrock), pgtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x3))
+
+
+def test_fmin_l_bfgs_b_bounds_and_warnflag():
+    d = jnp.asarray(np.linspace(-3.0, 3.0, 6))
+    fun = lambda x: jnp.sum((x - d) ** 2)
+    x, f, info = fmin_l_bfgs_b(fun, jnp.zeros(6), approx_grad=True,
+                               bounds=[(-1.0, 1.0)] * 6)
+    np.testing.assert_allclose(np.asarray(x),
+                               np.clip(np.asarray(d), -1, 1), atol=1e-6)
+    # iteration cap -> warnflag 1 with scipy's task string
+    _, _, cap = fmin_l_bfgs_b(rosenbrock_fg, jnp.full((16,), -1.2),
+                              maxiter=2, pgtol=1e-12)
+    assert cap["warnflag"] == 1
+    assert cap["task"].startswith("STOP")
+    assert cap["nit"] == 2
+
+
+def test_fmin_l_bfgs_b_callback_visits_iterates():
+    seen = []
+    x, f, info = fmin_l_bfgs_b(rosenbrock_fg, jnp.full((6,), -0.5),
+                               pgtol=1e-8, callback=seen.append)
+    assert len(seen) == info["nit"]
+    np.testing.assert_array_equal(seen[-1], np.asarray(x))
+    # callback path must agree with the fused-run path exactly
+    x2, _, info2 = fmin_l_bfgs_b(rosenbrock_fg, jnp.full((6,), -0.5),
+                                 pgtol=1e-8)
+    assert info2["nit"] == info["nit"]
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_fmin_l_bfgs_b_matches_scipy():
+    pytest.importorskip("scipy")
+    from scipy.optimize import fmin_l_bfgs_b as sp_fmin
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((8, 8))
+    a = q.T @ q + 8 * np.eye(8)
+    b = rng.standard_normal(8)
+    bounds = [(-0.2, 0.2)] * 8
+
+    def np_fg(x):
+        return 0.5 * x @ a @ x + b @ x, a @ x + b
+
+    def jx_fg(x):
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        return 0.5 * x @ aj @ x + bj @ x, aj @ x + bj
+
+    xs, fs, _ = sp_fmin(np_fg, np.zeros(8), bounds=bounds, pgtol=1e-10,
+                        factr=10.0)
+    xo, fo, info = fmin_l_bfgs_b(jx_fg, jnp.zeros(8), bounds=bounds,
+                                 pgtol=1e-10, factr=10.0)
+    assert info["warnflag"] == 0
+    np.testing.assert_allclose(np.asarray(xo), xs, atol=1e-7)
+    assert fo <= fs + 1e-12
