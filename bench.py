@@ -81,7 +81,7 @@ def main():
     # (x_even, x_odd) = (2, 4), f* = 5.0 — an active-boundary problem that
     # exercises the GCP + BOXCQP machinery on every iteration.
     bn = 10
-    bbatch = min(batch, 1024)
+    bbatch = min(batch, 4096)
     bparams = LBFGSBParams(epsilon=1e-6, max_iterations=60)
     lb = jnp.full((bn,), 2.0, dtype)
     ub = jnp.full((bn,), 4.0, dtype)

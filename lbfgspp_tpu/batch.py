@@ -19,10 +19,59 @@ import jax
 import jax.numpy as jnp
 
 from .params import LBFGSParams, LBFGSBParams
-from .types import SolveResult
+from .types import SolveResult, Status
 from . import lbfgs, lbfgsb
 
 Array = jax.Array
+
+
+def _compact_refine(s2, x0s: Array, k_refine: int, k_stage1: int):
+    """Two-stage batched solve with straggler compaction.
+
+    Stage 1 runs the whole batch in lockstep for at most ``k_stage1``
+    iterations.  Because a vmapped ``while_loop`` runs until the SLOWEST
+    instance terminates, a handful of hard instances makes every easy
+    instance pay masked (frozen-carry) iterations — on TPU that wall
+    time is pure waste.  This helper sorts the stage-1 states so
+    unconverged instances come first, takes the leading ``k_refine`` (a
+    static shape), resumes only those to stage-2's cap, and scatters the
+    states back.  The batch-level permutation costs two O(carry) gathers
+    per solve — executed once, not per iteration.
+
+    Stage 1 pauses via a bounded while-loop over the SAME solver's
+    ``step`` rather than a smaller ``max_iterations``: hitting the
+    reference's cap is lossy (the capped iteration's correction pair is
+    discarded — the reference returns before ``add_correction``,
+    LBFGS.h:151-162), while a pause splits the run at an iteration
+    boundary with the full carry intact, so when every unconverged
+    instance fits in ``k_refine`` the two-stage result is bit-identical
+    to the uninterrupted run.  Converged instances are untouched (their
+    carries are frozen no-ops even if selected); unconverged instances
+    beyond ``k_refine`` keep their stage-1 iterate and report
+    MAX_ITERATIONS.
+    """
+    from jax import lax
+
+    c = jax.vmap(s2.init)(x0s)
+    c = jax.vmap(lambda ci: lax.while_loop(
+        lambda st: (~st.done) & (st.k <= k_stage1), s2.step, ci))(c)
+    order = jnp.argsort(c.done.astype(jnp.int32), stable=True)
+    cs = jax.tree.map(lambda a: a[order], c)
+    head = jax.tree.map(lambda a: a[:k_refine], cs)
+    head = jax.vmap(s2.run)(head)
+    tail = jax.tree.map(lambda a: a[k_refine:], cs)
+    # Stranded unconverged tail instances: report the budget stop.  A
+    # paused carry holds k = iterations-performed + 1 (a cap-terminated
+    # one holds k = iterations-performed), so align the reported count.
+    tail = tail._replace(
+        k=jnp.where(tail.done, tail.k, tail.k - 1),
+        done=jnp.ones_like(tail.done),
+        status=jnp.where(tail.done, tail.status,
+                         jnp.int32(Status.MAX_ITERATIONS)))
+    merged = jax.tree.map(lambda h, t: jnp.concatenate([h, t], axis=0),
+                          head, tail)
+    inv = jnp.argsort(order)
+    return jax.tree.map(lambda a: a[inv], merged)
 
 
 def polish_solve(fun: Optional[Callable], x0: Array,
@@ -94,7 +143,9 @@ def minimize_batched(fun: Optional[Callable] = None,
                      jit: bool = True,
                      mesh=None,
                      batch_axis: str = "batch",
-                     polish_iters: int = 0) -> SolveResult:
+                     polish_iters: int = 0,
+                     refine_frac: float = 0.0,
+                     refine_iters: int = 0) -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -113,22 +164,58 @@ def minimize_batched(fun: Optional[Callable] = None,
     restarts — it lives in pair space there) with the same ``line_search``
     — on f32 hardware this recovers the reference's double-precision
     solution quality at a few extra iterations' cost.
-    """
-    def solve_one(x0):
-        res = lbfgs.minimize(fun, x0, params, fun_and_grad=fun_and_grad,
-                             line_search=line_search)
-        if polish_iters:
-            pol = polish_solve(fun, res.x, params, polish_iters,
-                               fun_and_grad=fun_and_grad,
-                               line_search=line_search)
-            res = _merge_polished(res, pol)
-        return res
 
-    f = jax.vmap(solve_one)
+    ``refine_frac``/``refine_iters`` enable straggler compaction
+    (:func:`_compact_refine`): the batch runs in lockstep only to
+    ``params.max_iterations``, then the hardest ``refine_frac`` of
+    instances continue alone for up to ``refine_iters`` more iterations.
+    When every unconverged instance fits in the refined fraction this is
+    bit-identical to a single run with the summed cap, at a fraction of
+    the lockstep wall time (the easy ~75-90% of the batch stops paying
+    frozen-carry iterations for the hard tail).  Requires a finite
+    ``params.max_iterations``; under ``mesh`` the compaction permutation
+    becomes a cross-device resharding of the carry (still once per solve,
+    not per iteration).
+    """
+    use_refine = refine_frac > 0.0 and refine_iters > 0
+    x0s = jnp.asarray(x0s)
+
+    def polish_batch(res):
+        pol = jax.vmap(lambda xf: polish_solve(
+            fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
+            line_search=line_search))(res.x)
+        return _merge_polished(res, pol)
+
+    if use_refine:
+        if params.max_iterations == 0:
+            raise ValueError(
+                "refine_iters requires a finite params.max_iterations "
+                "(the stage-1 lockstep cap)")
+        batch = x0s.shape[0]
+        k_refine = max(1, min(batch, int(round(refine_frac * batch))))
+        p2 = dataclasses.replace(
+            params, max_iterations=params.max_iterations + refine_iters)
+        s2 = lbfgs.solver(fun, p2, fun_and_grad=fun_and_grad,
+                          line_search=line_search)
+
+        def f(xs):
+            res = jax.vmap(s2.finalize)(_compact_refine(
+                s2, xs, k_refine, params.max_iterations))
+            return polish_batch(res) if polish_iters else res
+    else:
+        def solve_one(x0):
+            return lbfgs.minimize(fun, x0, params,
+                                  fun_and_grad=fun_and_grad,
+                                  line_search=line_search)
+
+        def f(xs):
+            res = jax.vmap(solve_one)(xs)
+            return polish_batch(res) if polish_iters else res
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P(batch_axis))
-        x0s = jax.device_put(jnp.asarray(x0s), sh)
+        x0s = jax.device_put(x0s, sh)
         f = jax.jit(f)
     elif jit:
         f = jax.jit(f)

@@ -108,3 +108,52 @@ def test_minimize_batched_over_mesh():
     dn = np.abs(np.asarray(res.niter, np.int64) -
                 np.asarray(ref.niter, np.int64))
     assert np.max(dn) <= 10, (np.asarray(res.niter), np.asarray(ref.niter))
+
+
+def test_refine_covering_all_stragglers_is_exact():
+    """When every unconverged stage-1 instance fits in the refined
+    fraction, straggler compaction must be BIT-identical to one run with
+    the summed iteration cap (resume is exact: the carry is the whole
+    state)."""
+    n, batch = 10, 12
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (batch, n)))
+    p1 = LBFGSParams(epsilon=1e-10, max_iterations=15)
+    ref = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s,
+                           params=LBFGSParams(epsilon=1e-10,
+                                              max_iterations=75))
+    res = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p1,
+                           refine_frac=1.0, refine_iters=60)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(ref.niter))
+    np.testing.assert_array_equal(np.asarray(res.status),
+                                  np.asarray(ref.status))
+
+
+def test_refine_partial_fraction_improves_tail():
+    """With a partial fraction, refined instances converge further while
+    easy instances and non-selected stragglers keep their stage-1 state;
+    no instance gets worse."""
+    n, batch = 10, 16
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (batch, n)))
+    p1 = LBFGSParams(epsilon=1e-9, max_iterations=12)
+    base = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p1)
+    res = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p1,
+                           refine_frac=0.5, refine_iters=100)
+    assert np.all(np.asarray(res.fx) <= np.asarray(base.fx) + 1e-12)
+    assert np.sum(np.asarray(res.niter) > 12) >= 1  # someone was refined
+    from lbfgspp_tpu.types import Status
+    # at least the 8 refined slots got a chance to converge
+    conv = np.asarray(res.status) == int(Status.CONVERGED_GRAD)
+    assert conv.sum() >= np.sum(np.asarray(base.status) ==
+                                int(Status.CONVERGED_GRAD))
+
+
+def test_refine_requires_finite_cap():
+    with pytest.raises(ValueError, match="finite params.max_iterations"):
+        minimize_batched(fun_and_grad=rosenbrock_fg,
+                         x0s=jnp.zeros((4, 6)),
+                         params=LBFGSParams(max_iterations=0),
+                         refine_frac=0.5, refine_iters=10)
