@@ -367,7 +367,6 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
     fpp0 = -theta * fp0 - vecp0 @ bmat.apply_mv(bh, vecp0)
 
     mdense = bh.mdense
-    w = bmat.w_rows(bh)                                # [n_local, 2m]
     bound = jnp.where(vecd > 0.0, ub, lb)
     z = jnp.where(participates, bound - x0, 0.0)
 

@@ -38,9 +38,12 @@ def pvary(x: Array, axis_name: Optional[str]) -> Array:
     if axis_name is None:
         return x
     try:
-        return lax.pcast(x, (axis_name,), to="varying")
-    except ValueError:
-        return x          # already varying on this axis: no-op
+        already_varying = axis_name in jax.typeof(x).vma
+    except AttributeError:     # outside shard_map's manual context
+        return x
+    if already_varying:
+        return x
+    return lax.pcast(x, (axis_name,), to="varying")
 
 
 def pdot(a: Array, b: Array, axis_name: Optional[str] = None) -> Array:

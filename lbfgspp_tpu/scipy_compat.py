@@ -20,7 +20,9 @@ Semantics map (scipy name -> this framework / reference):
 ``ftol``        objective-decrease tolerance ``delta`` with
                 ``past=1`` (Param.h:104-115) — the reference's analog
                 of scipy's relative-decrease test
-``eps_rel``     extension: ``epsilon_rel`` (Param.h:99)
+``eps_rel``     extension: ``epsilon_rel`` (Param.h:99).  Defaults to 0
+                here (scipy has no relative-gradient test, so the
+                solver's 1e-5 default would weaken a tight ``gtol``)
 ==============  =====================================================
 
 ``disp``/``iprint``/``eps``/``finite_diff_rel_step``/``maxfun`` are
@@ -76,6 +78,11 @@ def _normalize_bounds(bounds, n):
         lb = np.broadcast_to(np.asarray(bounds.lb, np.float64), (n,))
         ub = np.broadcast_to(np.asarray(bounds.ub, np.float64), (n,))
         return np.array(lb), np.array(ub)
+    bounds = list(bounds)
+    if len(bounds) != n:
+        # scipy raises for a length mismatch rather than padding.
+        raise ValueError(f"length of x0 != length of bounds "
+                         f"({n} != {len(bounds)})")
     lb = np.empty(n)
     ub = np.empty(n)
     for i, pair in enumerate(bounds):
@@ -123,8 +130,11 @@ def minimize(fun: Callable,
         options["gtol"] = tol
     if "gtol" in options:
         kw["epsilon"] = float(options.pop("gtol"))
-    if "eps_rel" in options:
-        kw["epsilon_rel"] = float(options.pop("eps_rel"))
+    # scipy has no relative-gradient convergence test, so the solver
+    # default epsilon_rel=1e-5 (Param.h:99) would silently override a
+    # tight gtol for large-norm solutions; disable it unless the caller
+    # opts back in with the extension option.
+    kw["epsilon_rel"] = float(options.pop("eps_rel", 0.0))
     if "maxiter" in options:
         kw["max_iterations"] = int(options.pop("maxiter"))
     if "maxls" in options:
@@ -179,6 +189,22 @@ def minimize(fun: Callable,
         message=_MESSAGES.get(status, Status(status).name.lower()),
         solver_result=res,
     )
+
+
+def _task_warnflag(status: int):
+    """Map a solver ``Status`` onto scipy's ``(task, warnflag)`` pair.
+
+    scipy's L-BFGS-B reports line-search breakdown as ``warnflag=2`` /
+    ``ABNORMAL_TERMINATION_IN_LNSRCH`` and an exhausted iteration budget
+    as ``warnflag=1``; mirror that so callers branching on ``warnflag``
+    get the same diagnosis."""
+    if status == int(Status.CONVERGED_GRAD):
+        return "CONVERGENCE: NORM OF PROJECTED GRADIENT <= PGTOL", 0
+    if status == int(Status.CONVERGED_DELTA):
+        return "CONVERGENCE: REL_REDUCTION_OF_F <= FACTR*EPSMCH", 0
+    if status >= int(Status.LS_INVALID_STEP):
+        return "ABNORMAL_TERMINATION_IN_LNSRCH", 2
+    return "STOP: TOTAL NO. of ITERATIONS REACHED LIMIT", 1
 
 
 def fmin_l_bfgs_b(func: Callable,
@@ -242,6 +268,8 @@ def fmin_l_bfgs_b(func: Callable,
     params = LBFGSBParams(
         m=m,
         epsilon=float(pgtol),
+        # scipy's convergence test is absolute (pgtol); no relative test.
+        epsilon_rel=0.0,
         past=1,
         delta=float(factr) * float(np.finfo(np.float64).eps),
         max_iterations=int(maxiter),
@@ -263,21 +291,13 @@ def fmin_l_bfgs_b(func: Callable,
             callback(np.asarray(c.x))
         res = s.finalize(c)
 
-    status = int(res.status)
-    converged = status in (int(Status.CONVERGED_GRAD),
-                           int(Status.CONVERGED_DELTA))
-    if status == int(Status.CONVERGED_GRAD):
-        task = "CONVERGENCE: NORM OF PROJECTED GRADIENT <= PGTOL"
-    elif status == int(Status.CONVERGED_DELTA):
-        task = ("CONVERGENCE: REL_REDUCTION_OF_F <= FACTR*EPSMCH")
-    else:
-        task = "STOP: TOTAL NO. of ITERATIONS REACHED LIMIT"
+    task, warnflag = _task_warnflag(int(res.status))
     info = {
         "grad": res.grad,
         "task": task,
         "funcalls": int(res.nfev),
         "nit": int(res.niter),
-        "warnflag": 0 if converged else 1,
+        "warnflag": warnflag,
     }
     return res.x, float(res.fx), info
 

@@ -21,7 +21,7 @@ the oracle with this dot (`--mode eigen`) vs NumPy's (`--mode numpy`) shows
 whether the published 23 is reproduced and which iteration's epsilon
 crossing flips.
 
-Result (also pinned in tests/test_eigen_order.py and PERF.md): the
+Result (also pinned in tests/test_readme_anchor.py and PERF.md): the
 iteration count is NOT an artifact of dot() ordering alone — the flip is in
 the gradient-norm epsilon crossing at the final iterate, where ||g|| sits
 within one ulp of 1e-6 (see the printed per-iteration tail).

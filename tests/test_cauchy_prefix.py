@@ -97,7 +97,7 @@ def test_fast_path_box_solutions_match_reference_path():
                              lb=lb, ub=ub, gcp="scan",
                              unroll_subspace=False)
     fast = minimize_b_batched(fun_and_grad=rosenbrock_chained_fg, x0s=x0s,
-                              lb=lb, ub=ub)
+                              lb=lb, ub=ub, unroll_subspace=True)
     np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(fast.fx), np.asarray(ref.fx),

@@ -194,3 +194,57 @@ def test_fmin_l_bfgs_b_matches_scipy():
     assert info["warnflag"] == 0
     np.testing.assert_allclose(np.asarray(xo), xs, atol=1e-7)
     assert fo <= fs + 1e-12
+
+
+def test_gtol_not_weakened_by_relative_test():
+    """scipy has no relative-gradient test; a tight gtol must stay in
+    force even when ||x|| is large (epsilon_rel is disabled unless the
+    eps_rel extension option asks for it)."""
+    shift = 999.0
+    fun = lambda x: rosenbrock(x - shift)   # optimum at x = 1000
+    x0 = jnp.full((10,), shift - 2.2)
+    tight = minimize(fun, x0, options={"gtol": 1e-8, "maxiter": 500})
+    assert tight.success
+    np.testing.assert_allclose(np.asarray(tight.x), shift + 1.0, atol=1e-6)
+    # opting back into the solver's relative test stops far earlier
+    loose = minimize(fun, x0, options={"gtol": 1e-8, "eps_rel": 1e-5,
+                                       "maxiter": 500})
+    assert loose.nit < tight.nit
+
+
+def test_bounds_length_mismatch_raises():
+    fun = lambda x: jnp.sum(x ** 2)
+    with pytest.raises(ValueError, match="length"):
+        minimize(fun, jnp.zeros(5), bounds=[(0.0, 1.0)] * 3)
+    with pytest.raises(ValueError, match="length"):
+        fmin_l_bfgs_b(fun, jnp.zeros(5), approx_grad=True,
+                      bounds=[(0.0, 1.0)] * 7)
+
+
+def test_task_warnflag_mapping():
+    """Line-search breakdown must surface as scipy's warnflag=2 /
+    ABNORMAL_TERMINATION_IN_LNSRCH, not as an iteration-limit stop."""
+    from lbfgspp_tpu.scipy_compat import _task_warnflag
+    from lbfgspp_tpu.types import Status
+
+    assert _task_warnflag(int(Status.CONVERGED_GRAD))[1] == 0
+    assert _task_warnflag(int(Status.CONVERGED_DELTA))[1] == 0
+    assert _task_warnflag(int(Status.MAX_ITERATIONS)) == (
+        "STOP: TOTAL NO. of ITERATIONS REACHED LIMIT", 1)
+    for s in (Status.LS_INVALID_STEP, Status.LS_NOT_DESCENT,
+              Status.LS_MAX_LINESEARCH, Status.LS_STEP_TOO_SMALL,
+              Status.LS_STEP_TOO_LARGE, Status.LS_BRACKET_INVERTED,
+              Status.LS_NUMERICAL):
+        assert _task_warnflag(int(s)) == ("ABNORMAL_TERMINATION_IN_LNSRCH", 2)
+
+
+def test_fmin_pgtol_absolute():
+    """fmin_l_bfgs_b honors pgtol absolutely (epsilon_rel disabled)."""
+    shift = 999.0
+    def fg(x):
+        f, g = rosenbrock_fg(x - shift)
+        return f, g
+    x, f, info = fmin_l_bfgs_b(fg, jnp.full((10,), shift - 2.2),
+                               pgtol=1e-8, factr=0.0, maxiter=500)
+    assert info["warnflag"] == 0
+    np.testing.assert_allclose(np.asarray(x), shift + 1.0, atol=1e-6)
