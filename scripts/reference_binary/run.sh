@@ -1,0 +1,16 @@
+#!/bin/sh
+# Compile the ACTUAL reference library (read-only mount at
+# /root/reference) against the Eigen bundled with this image's
+# tensorflow wheel, run it, and refresh the captured ground truth used
+# by tests/test_reference_binary.py.
+set -e
+cd "$(dirname "$0")"
+EIGEN=$(/opt/venv/bin/python - << 'PY'
+import pathlib, tensorflow
+print(pathlib.Path(tensorflow.__file__).parent / "include")
+PY
+)
+g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
+    ref_driver.cpp -o /tmp/ref_driver
+/tmp/ref_driver > reference_ground_truth.json
+echo "wrote $(pwd)/reference_ground_truth.json"

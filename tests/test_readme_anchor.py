@@ -19,6 +19,12 @@ oracle with Eigen's exact redux order (two peeled SSE2 packet
 accumulators, lanes summed last) and still gets 22 under current
 semantics; the per-iteration gnorm differences are ~1e-12 relative, five
 orders below the epsilon-crossing margin.
+
+CONFIRMED against the actual reference binary (round 2): the reference
+library compiled against real Eigen reports 22 with modern defaults and
+exactly 23 with ``epsilon_rel = 0`` — see
+scripts/reference_binary/reference_ground_truth.json and
+tests/test_reference_binary.py, which pin the full trajectory.
 """
 
 import numpy as np
