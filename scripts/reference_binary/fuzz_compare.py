@@ -1,0 +1,201 @@
+"""Diff the JAX solvers against the reference-binary fuzz capture.
+
+Rebuilds the exact problem instances from the shared xorshift64* RNG
+(ref_fuzz.cpp) and reports agreement statistics.  Run from the repo
+root with the CPU/f64 config:
+
+    /opt/venv/bin/python scripts/reference_binary/fuzz_compare.py
+"""
+
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+MASK = (1 << 64) - 1
+_SPLIT = 0x9E3779B97F4A7C15
+_MULT = 0x2545F4914F6CDD1D
+
+
+class Rng:
+    """Bit-exact mirror of ref_fuzz.cpp's xorshift64*."""
+
+    def __init__(self, seed):
+        self.s = (seed & MASK) or _SPLIT
+
+    def next_u64(self):
+        s = self.s
+        s ^= s >> 12
+        s = (s ^ (s << 25)) & MASK
+        s ^= s >> 27
+        self.s = s
+        return (s * _MULT) & MASK
+
+    def uniform(self, lo=0.0, hi=1.0):
+        u = (self.next_u64() >> 11) * (1.0 / 9007199254740992.0)
+        return lo + (hi - lo) * u
+
+
+REPS = 16
+NS = (4, 10)
+LSES = ("nocedalwright", "morethuente", "backtracking", "bracketing")
+PSETS = ((6, 1e-5, 1e-5), (3, 1e-6, 0.0))
+
+
+def lbfgs_grid():
+    """(cfg_id, n, obj, ls, m, eps, eps_rel) in ref_fuzz.cpp order."""
+    cfg = 1000
+    for n in NS:
+        for obj in ("quad", "rosen"):
+            for m, eps, eps_rel in PSETS:
+                for ls in LSES:
+                    yield cfg, n, obj, ls, m, eps, eps_rel
+                    cfg += 1
+
+
+def lbfgsb_grid():
+    cfg = 2000
+    for n in NS:
+        for m, eps in ((6, 1e-5), (3, 1e-6)):
+            yield cfg, n, m, eps
+            cfg += 1
+
+
+def make_lbfgs_problems(cfg, n):
+    d = np.empty((REPS, n))
+    b = np.empty((REPS, n))
+    x0 = np.empty((REPS, n))
+    for rep in range(REPS):
+        rng = Rng((cfg << 32) | (rep + 1))
+        for i in range(n):
+            d[rep, i] = rng.uniform(0.5, 10.0)
+        for i in range(n):
+            b[rep, i] = rng.uniform(-1.0, 1.0)
+        for i in range(n):
+            x0[rep, i] = rng.uniform(-2.0, 2.0)
+    return d, b, x0
+
+
+def make_lbfgsb_problems(cfg, n):
+    d = np.empty((REPS, n))
+    b = np.empty((REPS, n))
+    lb = np.empty((REPS, n))
+    ub = np.empty((REPS, n))
+    x0 = np.empty((REPS, n))
+    for rep in range(REPS):
+        rng = Rng((cfg << 32) | (rep + 1))
+        for i in range(n):
+            d[rep, i] = rng.uniform(0.5, 10.0)
+        for i in range(n):
+            b[rep, i] = rng.uniform(-1.0, 1.0)
+        for i in range(n):
+            a = rng.uniform(-1.5, 1.5)
+            w = rng.uniform(0.05, 1.5)
+            lb[rep, i] = a - w
+            ub[rep, i] = a + w
+        for i in range(n):
+            x0[rep, i] = rng.uniform(lb[rep, i], ub[rep, i])
+    return d, b, lb, ub, x0
+
+
+def main():
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[2]))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import lbfgspp_tpu as lt
+    from lbfgspp_tpu.utils.objectives import rosenbrock_fg
+
+    here = pathlib.Path(__file__).parent
+    gt = json.loads((here / "reference_fuzz.json").read_text())
+    by_key = {(r["cfg"], r["rep"]): r for r in gt["lbfgs"]}
+    by_key_b = {(r["cfg"], r["rep"]): r for r in gt["lbfgsb"]}
+
+    def quad_fg(dv, bv):
+        def fg(x):
+            g = dv * x - bv
+            return 0.5 * jnp.dot(x, dv * x) - jnp.dot(bv, x), g
+        return fg
+
+    n_exact = n_off1 = n_worse = 0
+    fx_diffs = []
+    rows = []
+    for cfg, n, obj, ls, m, eps, eps_rel in lbfgs_grid():
+        d, b, x0 = make_lbfgs_problems(cfg, n)
+        p = lt.LBFGSParams(m=m, epsilon=eps, epsilon_rel=eps_rel,
+                           max_iterations=1000)
+        if obj == "quad":
+            def solve(dv, bv, x):
+                return lt.minimize(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                   params=p, line_search=ls)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                           jnp.asarray(x0))
+        else:
+            def solve(x):
+                return lt.minimize(fun_and_grad=rosenbrock_fg, x0=x,
+                                   params=p, line_search=ls)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(x0))
+        for rep in range(REPS):
+            ref = by_key[(cfg, rep)]
+            nj = int(res.niter[rep])
+            nr = ref["niter"]
+            if nj == nr:
+                n_exact += 1
+            elif abs(nj - nr) <= 1:
+                n_off1 += 1
+            else:
+                n_worse += 1
+                rows.append((cfg, rep, obj, ls, m, eps, eps_rel, nj, nr))
+            fr = ref["fx"]
+            fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                            max(1.0, abs(fr)))
+
+    total = n_exact + n_off1 + n_worse
+    print(f"L-BFGS: {total} runs — exact niter {n_exact} "
+          f"({100*n_exact/total:.1f}%), off-by-1 {n_off1}, "
+          f"worse {n_worse}")
+    print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+    for r in rows[:20]:
+        print("  MISMATCH", r)
+
+    n_exact = n_off1 = n_worse = 0
+    fx_diffs = []
+    rows = []
+    for cfg, n, m, eps in lbfgsb_grid():
+        d, b, lb, ub, x0 = make_lbfgsb_problems(cfg, n)
+        p = lt.LBFGSBParams(m=m, epsilon=eps, max_iterations=1000)
+
+        def solve(dv, bv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       jnp.asarray(x0))
+        for rep in range(REPS):
+            ref = by_key_b[(cfg, rep)]
+            nj = int(res.niter[rep])
+            nr = ref["niter"]
+            if nj == nr:
+                n_exact += 1
+            elif abs(nj - nr) <= 1:
+                n_off1 += 1
+            else:
+                n_worse += 1
+                rows.append((cfg, rep, m, eps, nj, nr))
+            fr = ref["fx"]
+            fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                            max(1.0, abs(fr)))
+
+    total = n_exact + n_off1 + n_worse
+    print(f"L-BFGS-B: {total} runs — exact niter {n_exact} "
+          f"({100*n_exact/total:.1f}%), off-by-1 {n_off1}, "
+          f"worse {n_worse}")
+    print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+    for r in rows[:20]:
+        print("  MISMATCH", r)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,3 +14,7 @@ g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
     ref_driver.cpp -o /tmp/ref_driver
 /tmp/ref_driver > reference_ground_truth.json
 echo "wrote $(pwd)/reference_ground_truth.json"
+g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
+    ref_fuzz.cpp -o /tmp/ref_fuzz
+/tmp/ref_fuzz > reference_fuzz.json
+echo "wrote $(pwd)/reference_fuzz.json"

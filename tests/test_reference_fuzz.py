@@ -1,0 +1,145 @@
+"""Fuzz parity vs the ACTUAL reference binary (yixuan/LBFGSpp + Eigen).
+
+``scripts/reference_binary/ref_fuzz.cpp`` runs the reference library on
+576 random problem instances (shared xorshift64* RNG, see
+``fuzz_compare.py``) and the capture is checked in; these tests rebuild
+bit-identical instances and diff the JAX solvers against it.
+
+Measured agreement (full sweep in fuzz_compare.py):
+
+- **Diagonal quadratics (elementwise-reproducible arithmetic): 256/256
+  L-BFGS runs match the binary's iteration count EXACTLY** across all
+  four line searches, two (m, epsilon, epsilon_rel) sets and two sizes;
+  final fx agrees to ~1e-15 relative.  **L-BFGS-B: 64/64 exact** on
+  random boxes with active/inactive bounds.
+- Pairwise Rosenbrock: iteration counts agree exactly on only ~41% of
+  runs — the objective-value reductions are summed in a different order
+  than Eigen's SIMD kernels, and on a chaotic trajectory a 1-ulp fx
+  difference flips line-search branch decisions (the same sensitivity
+  scripts/eigen_order_study.py documents).  Both implementations still
+  converge to the same optimum: final fx agrees to <= 1e-8 relative on
+  every run.  Branch-order logic for such trajectories is covered by
+  the order-matched NumPy oracle suite (tests/test_linesearch_fuzz.py).
+
+To keep suite time bounded, this module re-runs the quadratic sweeps in
+full (the bit-compat claim) and a Rosenbrock subset (the convergence
+claim).
+"""
+
+import importlib.util
+import json
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lbfgspp_tpu as lt
+from lbfgspp_tpu.utils.objectives import rosenbrock_fg
+
+_DIR = pathlib.Path(__file__).parent.parent / "scripts" / "reference_binary"
+
+_spec = importlib.util.spec_from_file_location(
+    "fuzz_compare", _DIR / "fuzz_compare.py")
+fuzz = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(fuzz)
+
+
+@pytest.fixture(scope="module")
+def gt():
+    path = _DIR / "reference_fuzz.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("fuzz capture not present "
+                    "(run scripts/reference_binary/run.sh)")
+    d = json.loads(path.read_text())
+    return ({(r["cfg"], r["rep"]): r for r in d["lbfgs"]},
+            {(r["cfg"], r["rep"]): r for r in d["lbfgsb"]})
+
+
+def _quad_fg(dv, bv):
+    def fg(x):
+        return 0.5 * jnp.dot(x, dv * x) - jnp.dot(bv, x), dv * x - bv
+    return fg
+
+
+def test_lbfgs_quadratic_bitcompat(gt):
+    """Every quadratic run matches the reference binary's iteration
+    count exactly; fx to 1e-12."""
+    by_key, _ = gt
+    for cfg, n, obj, ls, m, eps, eps_rel in fuzz.lbfgs_grid():
+        if obj != "quad":
+            continue
+        d, b, x0 = fuzz.make_lbfgs_problems(cfg, n)
+        p = lt.LBFGSParams(m=m, epsilon=eps, epsilon_rel=eps_rel,
+                           max_iterations=1000)
+
+        def solve(dv, bv, x):
+            return lt.minimize(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                               params=p, line_search=ls)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = by_key[(cfg, rep)]
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep, ls)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep} ls={ls}")
+
+
+def test_lbfgsb_bitcompat(gt):
+    """Every box run (random boxes, active + inactive bounds) matches
+    the binary exactly in iteration count; fx to 1e-12."""
+    _, by_key_b = gt
+    for cfg, n, m, eps in fuzz.lbfgsb_grid():
+        d, b, lb, ub, x0 = fuzz.make_lbfgsb_problems(cfg, n)
+        p = lt.LBFGSBParams(m=m, epsilon=eps, max_iterations=1000)
+
+        def solve(dv, bv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = by_key_b[(cfg, rep)]
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep}")
+
+
+def test_lbfgs_rosenbrock_same_optimum(gt):
+    """Rosenbrock subset: summation-order chaos precludes exact
+    iteration-count parity (see module docstring), but every run must
+    land on the reference binary's optimum (fx <= 1e-8 relative) and a
+    healthy fraction still matches exactly."""
+    by_key, _ = gt
+    exact = total = 0
+    for cfg, n, obj, ls, m, eps, eps_rel in fuzz.lbfgs_grid():
+        if obj != "rosen" or n != 10:
+            continue
+        if ls not in ("nocedalwright", "morethuente"):
+            continue
+        d, b, x0 = fuzz.make_lbfgs_problems(cfg, n)
+        p = lt.LBFGSParams(m=m, epsilon=eps, epsilon_rel=eps_rel,
+                           max_iterations=1000)
+
+        def solve(x):
+            return lt.minimize(fun_and_grad=rosenbrock_fg, x0=x,
+                               params=p, line_search=ls)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = by_key[(cfg, rep)]
+            total += 1
+            exact += int(res.niter[rep]) == ref["niter"]
+            assert abs(float(res.fx[rep]) - ref["fx"]) <= 1e-8 * \
+                max(1.0, abs(ref["fx"])), (cfg, rep, ls)
+            assert int(res.status[rep]) in (1, 2), (cfg, rep, ls)
+    assert total == 64
+    # canary, not a parity claim: n=10 trajectories are the most
+    # chaotic slice — observed 13/64 exact (n=4 runs sit near 70%)
+    assert exact >= total // 8, (exact, total)
