@@ -18,6 +18,7 @@ own deployment profile.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 import threading
@@ -30,11 +31,15 @@ from ..params import LBFGSParams
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "core.cpp")
 _SRC_B = os.path.join(_HERE, "lbfgsb.cpp")
+_SRC_FAST = os.path.join(_HERE, "fastcall.cpp")
 _LIB = os.path.join(_HERE, "libnative.so")
+_LIB_FAST = os.path.join(_HERE, "_lbfgspp_fastcall.so")
 
 _lock = threading.Lock()
 _lib = None
 _build_error: Optional[str] = None
+_fast = None
+_fast_tried = False
 
 BUILTIN_OBJECTIVES = {"rosenbrock": 0, "quadratic": 1}
 
@@ -118,25 +123,64 @@ def _load():
         lib = ctypes.CDLL(_LIB)
         fn = lib.lbfgspp_native_minimize
         fn.restype = ctypes.c_int
+        # Pointer args are declared c_void_p and passed as integer
+        # addresses: per-call POINTER()/data_as conversions cost ~10 us,
+        # half the latency budget of a small solve.
         fn.argtypes = [
             _OBJ_CB, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(_CParams),
+            ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         fnb = lib.lbfgspp_native_minimize_b
         fnb.restype = ctypes.c_int
         fnb.argtypes = [
             _OBJ_CB, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(_CParamsB),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
+
+
+def _load_fast():
+    """Build/import the CPython C-extension fast path (fastcall.cpp);
+    returns the module or None (ctypes remains the fallback)."""
+    global _fast, _fast_tried
+    if _fast_tried:            # lock-free fast path (set-once flag)
+        return _fast
+    with _lock:
+        if _fast_tried:
+            return _fast
+        try:
+            import importlib.util
+            import sysconfig
+            newest = max(os.path.getmtime(s)
+                         for s in (_SRC, _SRC_B, _SRC_FAST))
+            if (not os.path.exists(_LIB_FAST) or
+                    os.path.getmtime(_LIB_FAST) < newest):
+                inc = sysconfig.get_paths()["include"]
+                cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                       "-std=c++17", f"-I{inc}", _SRC_FAST, _SRC, _SRC_B,
+                       "-o", _LIB_FAST + ".tmp"]
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=120)
+                if proc.returncode != 0:
+                    return None
+                os.replace(_LIB_FAST + ".tmp", _LIB_FAST)
+            spec = importlib.util.spec_from_file_location(
+                "_lbfgspp_fastcall", _LIB_FAST)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _fast = mod
+        except Exception:      # any toolchain/ABI issue: ctypes fallback
+            _fast = None
+        _fast_tried = True     # set AFTER _fast, for lock-free readers
+        return _fast
 
 
 def available() -> bool:
@@ -152,6 +196,32 @@ def build_error() -> Optional[str]:
 _NULL_CB = _OBJ_CB()
 
 
+@functools.lru_cache(maxsize=64)
+def _cparams_b_cached(params) -> "_CParamsB":
+    return _CParamsB(m=params.m, epsilon=params.epsilon,
+                     epsilon_rel=params.epsilon_rel, past=params.past,
+                     delta=params.delta,
+                     max_iterations=params.max_iterations,
+                     max_submin=params.max_submin,
+                     max_linesearch=params.max_linesearch,
+                     min_step=params.min_step, max_step=params.max_step,
+                     ftol=params.ftol, wolfe=params.wolfe)
+
+
+@functools.lru_cache(maxsize=64)
+def _cparams_cached(params: LBFGSParams) -> "_CParams":
+    """ctypes struct construction costs ~10 us — cache it per (frozen,
+    hashable) params object so repeated small solves pay it once."""
+    return _CParams(m=params.m, epsilon=params.epsilon,
+                    epsilon_rel=params.epsilon_rel, past=params.past,
+                    delta=params.delta,
+                    max_iterations=params.max_iterations,
+                    linesearch=params.linesearch,
+                    max_linesearch=params.max_linesearch,
+                    min_step=params.min_step, max_step=params.max_step,
+                    ftol=params.ftol, wolfe=params.wolfe)
+
+
 def minimize(fun: Union[str, Callable],
              x0,
              params: LBFGSParams = LBFGSParams(),
@@ -163,25 +233,28 @@ def minimize(fun: Union[str, Callable],
     :func:`lbfgspp_tpu.minimize` (same defaults, status codes and
     iteration counts — trajectory-tested against the NumPy oracle).
     """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native core unavailable: {_build_error}")
-
     # Always copy: the C core updates x in place and must not mutate the
     # caller's array.
     x = np.array(x0, dtype=np.float64, copy=True, order="C")
     n = x.shape[0]
 
-    cp = _CParams(m=params.m, epsilon=params.epsilon,
-                  epsilon_rel=params.epsilon_rel, past=params.past,
-                  delta=params.delta, max_iterations=params.max_iterations,
-                  linesearch=params.linesearch,
-                  max_linesearch=params.max_linesearch,
-                  min_step=params.min_step, max_step=params.max_step,
-                  ftol=params.ftol, wolfe=params.wolfe)
+    cp = _cparams_cached(params)
 
     if isinstance(fun, str):
         builtin_id = BUILTIN_OBJECTIVES[fun]
+        fast = _load_fast()
+        if fast is not None:
+            status, fx, gnorm, niter, nfev = fast.minimize(
+                builtin_id, x, ctypes.addressof(cp),
+                LS_KINDS[line_search])
+            return NativeResult(x=x, fx=fx, gnorm=gnorm, niter=niter,
+                                nfev=nfev, status=status)
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+
+    if isinstance(fun, str):
         cb = _NULL_CB
     else:
         builtin_id = -1
@@ -195,19 +268,17 @@ def minimize(fun: Union[str, Callable],
 
         cb = _OBJ_CB(_bridge)
 
-    out_fx = ctypes.c_double()
-    out_gnorm = ctypes.c_double()
-    out_niter = ctypes.c_int()
-    out_nfev = ctypes.c_int()
+    outd = (ctypes.c_double * 2)()          # fx, gnorm
+    outi = (ctypes.c_int * 2)()             # niter, nfev
+    oda = ctypes.addressof(outd)
+    oia = ctypes.addressof(outi)
     status = lib.lbfgspp_native_minimize(
         cb, None, builtin_id, n,
-        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.byref(cp), LS_KINDS[line_search],
-        ctypes.byref(out_fx), ctypes.byref(out_gnorm),
-        ctypes.byref(out_niter), ctypes.byref(out_nfev))
+        x.ctypes.data, ctypes.addressof(cp), LS_KINDS[line_search],
+        oda, oda + 8, oia, oia + 4)
 
-    return NativeResult(x=x, fx=out_fx.value, gnorm=out_gnorm.value,
-                        niter=out_niter.value, nfev=out_nfev.value,
+    return NativeResult(x=x, fx=outd[0], gnorm=outd[1],
+                        niter=outi[0], nfev=outi[1],
                         status=status)
 
 
@@ -238,16 +309,16 @@ def minimize_b(fun: Union[str, Callable],
     ub = np.ascontiguousarray(np.broadcast_to(
         np.asarray(ub, np.float64), x.shape))
 
-    cp = _CParamsB(m=params.m, epsilon=params.epsilon,
-                   epsilon_rel=params.epsilon_rel, past=params.past,
-                   delta=params.delta, max_iterations=params.max_iterations,
-                   max_submin=params.max_submin,
-                   max_linesearch=params.max_linesearch,
-                   min_step=params.min_step, max_step=params.max_step,
-                   ftol=params.ftol, wolfe=params.wolfe)
+    cp = _cparams_b_cached(params)
 
     if isinstance(fun, str):
         builtin_id = BUILTIN_OBJECTIVES[fun]
+        fast = _load_fast()
+        if fast is not None:
+            status, fx, pg, niter, nfev = fast.minimize_b(
+                builtin_id, x, lb, ub, ctypes.addressof(cp))
+            return NativeResult(x=x, fx=fx, gnorm=pg, niter=niter,
+                                nfev=nfev, status=status)
         cb = _NULL_CB
     else:
         builtin_id = -1
@@ -261,18 +332,16 @@ def minimize_b(fun: Union[str, Callable],
 
         cb = _OBJ_CB(_bridge)
 
-    out_fx = ctypes.c_double()
-    out_pg = ctypes.c_double()
-    out_niter = ctypes.c_int()
-    out_nfev = ctypes.c_int()
-    dptr = ctypes.POINTER(ctypes.c_double)
+    outd = (ctypes.c_double * 2)()          # fx, projected gnorm
+    outi = (ctypes.c_int * 2)()             # niter, nfev
+    oda = ctypes.addressof(outd)
+    oia = ctypes.addressof(outi)
     status = lib.lbfgspp_native_minimize_b(
         cb, None, builtin_id, n,
-        x.ctypes.data_as(dptr), lb.ctypes.data_as(dptr),
-        ub.ctypes.data_as(dptr), ctypes.byref(cp),
-        ctypes.byref(out_fx), ctypes.byref(out_pg),
-        ctypes.byref(out_niter), ctypes.byref(out_nfev))
+        x.ctypes.data, lb.ctypes.data, ub.ctypes.data,
+        ctypes.addressof(cp),
+        oda, oda + 8, oia, oia + 4)
 
-    return NativeResult(x=x, fx=out_fx.value, gnorm=out_pg.value,
-                        niter=out_niter.value, nfev=out_nfev.value,
+    return NativeResult(x=x, fx=outd[0], gnorm=outd[1],
+                        niter=outi[0], nfev=outi[1],
                         status=status)

@@ -185,3 +185,36 @@ def test_lbfgsb_pinned_and_infinite():
     want = np.clip(d, lb, ub)
     np.testing.assert_allclose(res.x, want, atol=1e-5)
     assert res.x[3] == 2.5
+
+
+def test_fastcall_matches_ctypes_path():
+    """The CPython C-extension fast path and the ctypes path are two
+    bindings of the same C core and must return identical results."""
+    native = pytest.importorskip("lbfgspp_tpu.native")
+    if not native.available():
+        pytest.skip(native.build_error())
+    if native._load_fast() is None:
+        pytest.skip("C extension unavailable")
+    p = LBFGSParams(epsilon=1e-6, max_iterations=100)
+    x0 = np.zeros(10)
+    fast = native.minimize("rosenbrock", x0, p)
+    saved = native._fast
+    native._fast = None            # force the ctypes branch
+    try:
+        slow = native.minimize("rosenbrock", x0, p)
+    finally:
+        native._fast = saved
+    assert fast.niter == slow.niter and fast.status == slow.status
+    assert fast.fx == slow.fx and fast.gnorm == slow.gnorm
+    np.testing.assert_array_equal(fast.x, slow.x)
+
+    lb = np.full(10, 2.0)
+    ub = np.full(10, 4.0)
+    fastb = native.minimize_b("rosenbrock", np.full(10, 3.0), lb, ub)
+    native._fast = None
+    try:
+        slowb = native.minimize_b("rosenbrock", np.full(10, 3.0), lb, ub)
+    finally:
+        native._fast = saved
+    assert fastb.niter == slowb.niter and fastb.fx == slowb.fx
+    np.testing.assert_array_equal(fastb.x, slowb.x)
