@@ -18,3 +18,8 @@ g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
     ref_fuzz.cpp -o /tmp/ref_fuzz
 /tmp/ref_fuzz > reference_fuzz.json
 echo "wrote $(pwd)/reference_fuzz.json"
+# timing is a point-in-time, host-specific capture (not test-compared)
+g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
+    ref_timing.cpp -o /tmp/ref_timing
+/tmp/ref_timing > reference_timing.json
+echo "wrote $(pwd)/reference_timing.json"
