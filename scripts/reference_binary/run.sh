@@ -18,6 +18,10 @@ g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
     ref_fuzz.cpp -o /tmp/ref_fuzz
 /tmp/ref_fuzz > reference_fuzz.json
 echo "wrote $(pwd)/reference_fuzz.json"
+g++ -O2 -std=c++17 -DF32_MAIN -I/root/reference/include -I"$EIGEN" \
+    ref_fuzz.cpp -o /tmp/ref_fuzz_f32
+/tmp/ref_fuzz_f32 > reference_fuzz_f32.json
+echo "wrote $(pwd)/reference_fuzz_f32.json"
 # timing is a point-in-time, host-specific capture (not test-compared)
 g++ -O2 -std=c++17 -I/root/reference/include -I"$EIGEN" \
     ref_timing.cpp -o /tmp/ref_timing

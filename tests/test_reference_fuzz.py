@@ -143,3 +143,61 @@ def test_lbfgs_rosenbrock_same_optimum(gt):
     # canary, not a parity claim: n=10 trajectories are the most
     # chaotic slice — observed 13/64 exact (n=4 runs sit near 70%)
     assert exact >= total // 8, (exact, total)
+
+
+def test_lbfgs_f32_failure_behavior_matches_reference(gt):
+    """Scalar=float parity (the reference's own examples instantiate
+    float, example-rosenbrock.cpp:33-34).  At f32 with tight tolerances
+    the REFERENCE ITSELF throws 'line search failed' on ~44% of random
+    quadratics (28/64 in the capture) — the decrease test sits at the
+    rounding floor, so throw-vs-converge is decided by the last ulp and
+    flips with summation order.  The JAX f32 solver must show the same
+    qualitative behavior: a comparable failure fraction (as status
+    codes, Status >= LS_INVALID_STEP, never an exception), majority
+    per-instance outcome agreement, and agreeing converged minima."""
+    path = _DIR / "reference_fuzz_f32.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("f32 capture not present")
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text())["lbfgs_f32"]}
+
+    p = lt.LBFGSParams(epsilon=1e-4, epsilon_rel=1e-4, max_iterations=500)
+    agree = total = jax_failures = ref_failures = 0
+    for ci, n in enumerate((4, 10)):
+        cfg = 3000 + ci
+        d = np.empty((32, n), np.float32)
+        b = np.empty((32, n), np.float32)
+        x0 = np.empty((32, n), np.float32)
+        for rep in range(32):
+            rng = fuzz.Rng((cfg << 32) | (rep + 1))
+            for i in range(n):
+                d[rep, i] = np.float32(rng.uniform(0.5, 10.0))
+            for i in range(n):
+                b[rep, i] = np.float32(rng.uniform(-1.0, 1.0))
+            for i in range(n):
+                x0[rep, i] = np.float32(rng.uniform(-2.0, 2.0))
+
+        def solve(dv, bv, x):
+            return lt.minimize(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                               params=p)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(x0))
+        for rep in range(32):
+            ref = rows[(cfg, rep)]
+            ref_failed = ref["niter"] < 0
+            jax_failed = int(res.status[rep]) >= 10
+            total += 1
+            ref_failures += ref_failed
+            jax_failures += jax_failed
+            agree += ref_failed == jax_failed
+            if not ref_failed and not jax_failed:
+                # both converged: same minimum (the f32 gradient floor
+                # bounds the achievable accuracy)
+                assert abs(float(res.fx[rep]) - ref["fx"]) <= \
+                    1e-4 * max(1.0, abs(ref["fx"])), (cfg, rep)
+
+    assert total == 64
+    # same ballpark of failures (observed: ref 28, jax ~20-26)
+    assert 5 <= jax_failures <= 45, jax_failures
+    assert agree >= int(0.6 * total), (agree, total)
