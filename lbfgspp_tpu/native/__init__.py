@@ -345,3 +345,51 @@ def minimize_b(fun: Union[str, Callable],
     return NativeResult(x=x, fx=outd[0], gnorm=outd[1],
                         niter=outi[0], nfev=outi[1],
                         status=status)
+
+
+class NativeBatchResult(NamedTuple):
+    x: np.ndarray        # [B, n] solutions
+    fx: np.ndarray       # [B]
+    niter: np.ndarray    # [B]
+    nfev: np.ndarray     # [B]
+    status: np.ndarray   # [B]
+
+
+def minimize_batch(fun: str,
+                   x0s,
+                   params: LBFGSParams = LBFGSParams(),
+                   line_search: str = "nocedalwright",
+                   threads: Optional[int] = None) -> NativeBatchResult:
+    """Threaded CPU multistart batch over builtin objectives.
+
+    The reference's multistart examples loop their 1024 starts
+    sequentially on one core (example-rosenbrock-bracketing.cpp:44);
+    the C core is reentrant, so this fans the independent solves out
+    over ``threads`` OS threads (default: all cores) with the GIL
+    released.  The TPU path (`lbfgspp_tpu.minimize_batched`) is the
+    production batch engine; this is the CPU fallback/latency
+    complement for builtin objectives (Python callbacks would
+    serialize on the GIL).
+    """
+    if not isinstance(fun, str):
+        raise TypeError("minimize_batch supports builtin objectives "
+                        "only (Python callbacks serialize on the GIL); "
+                        "use lbfgspp_tpu.minimize_batched instead")
+    fast = _load_fast()
+    if fast is None:
+        raise RuntimeError("native C extension unavailable")
+    builtin_id = BUILTIN_OBJECTIVES[fun]
+    xs = np.array(x0s, dtype=np.float64, copy=True, order="C")
+    if xs.ndim != 2:
+        raise ValueError("x0s must be [batch, n]")
+    b = xs.shape[0]
+    cp = _cparams_cached(params)
+    fx = np.empty(b, np.float64)
+    niter = np.empty(b, np.int32)
+    nfev = np.empty(b, np.int32)
+    status = np.empty(b, np.int32)
+    fast.minimize_batch(builtin_id, xs, b, ctypes.addressof(cp),
+                        LS_KINDS[line_search], fx, niter, nfev, status,
+                        -1 if threads is None else int(threads))
+    return NativeBatchResult(x=xs, fx=fx, niter=niter, nfev=nfev,
+                             status=status)

@@ -218,3 +218,26 @@ def test_fastcall_matches_ctypes_path():
         native._fast = saved
     assert fastb.niter == slowb.niter and fastb.fx == slowb.fx
     np.testing.assert_array_equal(fastb.x, slowb.x)
+
+
+def test_minimize_batch_matches_singles():
+    """The threaded CPU batch is the same core fanned over threads —
+    every instance must be bit-identical to its single-solve result,
+    independent of the thread count."""
+    native = pytest.importorskip("lbfgspp_tpu.native")
+    if not native.available() or native._load_fast() is None:
+        pytest.skip("native C extension unavailable")
+    rng = np.random.default_rng(5)
+    x0s = rng.uniform(-2.0, 2.0, (32, 10))
+    p = LBFGSParams(epsilon=1e-6, max_iterations=200)
+    rb = native.minimize_batch("rosenbrock", x0s, p)
+    rb1 = native.minimize_batch("rosenbrock", x0s, p, threads=1)
+    np.testing.assert_array_equal(rb.x, rb1.x)
+    np.testing.assert_array_equal(rb.niter, rb1.niter)
+    for i in range(8):
+        s = native.minimize("rosenbrock", x0s[i], p)
+        assert s.niter == rb.niter[i] and s.fx == rb.fx[i]
+        assert s.status == rb.status[i] and s.nfev == rb.nfev[i]
+        np.testing.assert_array_equal(s.x, rb.x[i])
+    with pytest.raises(TypeError):
+        native.minimize_batch(lambda x: (0.0, x), x0s, p)
