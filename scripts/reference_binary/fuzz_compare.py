@@ -77,6 +77,42 @@ def make_lbfgs_problems(cfg, n):
     return d, b, x0
 
 
+def make_lbfgsb_special_problems(cfg, n):
+    """Pinned (lb==ub) and one-sided-infinite bounds mixed in; mirrors
+    the cfg=2100 block of ref_fuzz.cpp exactly."""
+    d = np.empty((REPS, n))
+    b = np.empty((REPS, n))
+    lb = np.empty((REPS, n))
+    ub = np.empty((REPS, n))
+    x0 = np.empty((REPS, n))
+    for rep in range(REPS):
+        rng = Rng((cfg << 32) | (rep + 1))
+        for i in range(n):
+            d[rep, i] = rng.uniform(0.5, 10.0)
+        for i in range(n):
+            b[rep, i] = rng.uniform(-1.0, 1.0)
+        for i in range(n):
+            a = rng.uniform(-1.5, 1.5)
+            w = rng.uniform(0.05, 1.5)
+            kind = rng.uniform()
+            if kind < 0.2:
+                lb[rep, i] = ub[rep, i] = a
+            elif kind < 0.35:
+                lb[rep, i] = -np.inf
+                ub[rep, i] = a + w
+            elif kind < 0.5:
+                lb[rep, i] = a - w
+                ub[rep, i] = np.inf
+            else:
+                lb[rep, i] = a - w
+                ub[rep, i] = a + w
+        for i in range(n):
+            lo = max(lb[rep, i], -3.0)
+            hi = min(ub[rep, i], 3.0)
+            x0[rep, i] = rng.uniform(lo, hi)
+    return d, b, lb, ub, x0
+
+
 def make_lbfgsb_problems(cfg, n):
     d = np.empty((REPS, n))
     b = np.empty((REPS, n))

@@ -201,3 +201,32 @@ def test_lbfgs_f32_failure_behavior_matches_reference(gt):
     # same ballpark of failures (observed: ref 28, jax ~20-26)
     assert 5 <= jax_failures <= 45, jax_failures
     assert agree >= int(0.6 * total), (agree, total)
+
+
+def test_lbfgsb_special_bounds_bitcompat(gt):
+    """Pinned variables (lb == ub, Cauchy.h:113-114) and one-sided
+    infinite bounds, randomly mixed: every run must match the binary's
+    iteration count exactly (reproducible quadratic arithmetic)."""
+    path = _DIR / "reference_fuzz.json"
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgsb_special", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("special-bounds capture not present")
+    p = lt.LBFGSBParams(epsilon=1e-6, max_iterations=1000)
+    for ci, n in enumerate((4, 10)):
+        cfg = 2100 + ci
+        d, b, lb, ub, x0 = fuzz.make_lbfgsb_special_problems(cfg, n)
+
+        def solve(dv, bv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = rows[(cfg, rep)]
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep}")
