@@ -21,6 +21,7 @@ import ctypes
 import functools
 import os
 import subprocess
+import sysconfig
 import threading
 from typing import Callable, NamedTuple, Optional, Union
 
@@ -33,13 +34,19 @@ _SRC = os.path.join(_HERE, "core.cpp")
 _SRC_B = os.path.join(_HERE, "lbfgsb.cpp")
 _SRC_FAST = os.path.join(_HERE, "fastcall.cpp")
 _LIB = os.path.join(_HERE, "libnative.so")
-_LIB_FAST = os.path.join(_HERE, "_lbfgspp_fastcall.so")
+# The extension filename carries the interpreter's ABI tag
+# (e.g. ``.cpython-312-x86_64-linux-gnu.so``) so a cached build from one
+# Python never gets loaded into another (ImportError/segfault territory).
+_LIB_FAST = os.path.join(
+    _HERE, "_lbfgspp_fastcall"
+    + (sysconfig.get_config_var("EXT_SUFFIX") or ".so"))
 
 _lock = threading.Lock()
 _lib = None
 _build_error: Optional[str] = None
 _fast = None
 _fast_tried = False
+_fast_error: Optional[str] = None
 
 BUILTIN_OBJECTIVES = {"rosenbrock": 0, "quadratic": 1}
 
@@ -149,8 +156,11 @@ def _load():
 
 def _load_fast():
     """Build/import the CPython C-extension fast path (fastcall.cpp);
-    returns the module or None (ctypes remains the fallback)."""
-    global _fast, _fast_tried
+    returns the module or None (ctypes remains the fallback).  The
+    outcome — success OR failure — is memoized, so a host without the
+    toolchain/headers pays the build attempt exactly once; the failure
+    diagnostic is kept in :func:`fast_error`."""
+    global _fast, _fast_tried, _fast_error
     if _fast_tried:            # lock-free fast path (set-once flag)
         return _fast
     with _lock:
@@ -158,7 +168,6 @@ def _load_fast():
             return _fast
         try:
             import importlib.util
-            import sysconfig
             newest = max(os.path.getmtime(s)
                          for s in (_SRC, _SRC_B, _SRC_FAST))
             if (not os.path.exists(_LIB_FAST) or
@@ -170,17 +179,28 @@ def _load_fast():
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=120)
                 if proc.returncode != 0:
-                    return None
-                os.replace(_LIB_FAST + ".tmp", _LIB_FAST)
-            spec = importlib.util.spec_from_file_location(
-                "_lbfgspp_fastcall", _LIB_FAST)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            _fast = mod
-        except Exception:      # any toolchain/ABI issue: ctypes fallback
+                    _fast_error = ("fastcall build failed:\n"
+                                   + proc.stderr[-2000:])
+                    _fast = None
+                else:
+                    os.replace(_LIB_FAST + ".tmp", _LIB_FAST)
+            if _fast_error is None:
+                spec = importlib.util.spec_from_file_location(
+                    "_lbfgspp_fastcall", _LIB_FAST)
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                _fast = mod
+        except Exception as e:  # any toolchain/ABI issue: ctypes fallback
             _fast = None
+            _fast_error = f"fastcall build/import failed: {e!r}"
         _fast_tried = True     # set AFTER _fast, for lock-free readers
         return _fast
+
+
+def fast_error() -> Optional[str]:
+    """Diagnostic from a failed C-extension build/import (None if the
+    fast path loaded, or was never attempted)."""
+    return _fast_error
 
 
 def available() -> bool:
@@ -298,9 +318,6 @@ def minimize_b(fun: Union[str, Callable],
 
     if params is None:
         params = LBFGSBParams()
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native core unavailable: {_build_error}")
 
     x = np.array(x0, dtype=np.float64, copy=True, order="C")
     n = x.shape[0]
@@ -311,6 +328,8 @@ def minimize_b(fun: Union[str, Callable],
 
     cp = _cparams_b_cached(params)
 
+    # Try the C-extension fast path first (like minimize): builtins never
+    # need the ctypes lib, so don't force its build/load to succeed.
     if isinstance(fun, str):
         builtin_id = BUILTIN_OBJECTIVES[fun]
         fast = _load_fast()
@@ -319,6 +338,12 @@ def minimize_b(fun: Union[str, Callable],
                 builtin_id, x, lb, ub, ctypes.addressof(cp))
             return NativeResult(x=x, fx=fx, gnorm=pg, niter=niter,
                                 nfev=nfev, status=status)
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native core unavailable: {_build_error}")
+
+    if isinstance(fun, str):
         cb = _NULL_CB
     else:
         builtin_id = -1
@@ -377,7 +402,8 @@ def minimize_batch(fun: str,
                         "use lbfgspp_tpu.minimize_batched instead")
     fast = _load_fast()
     if fast is None:
-        raise RuntimeError("native C extension unavailable")
+        raise RuntimeError(
+            f"native C extension unavailable: {_fast_error}")
     builtin_id = BUILTIN_OBJECTIVES[fun]
     xs = np.array(x0s, dtype=np.float64, copy=True, order="C")
     if xs.ndim != 2:

@@ -232,6 +232,46 @@ def main():
     for r in rows[:20]:
         print("  MISMATCH", r)
 
+    # cfg=2100 block: pinned (lb==ub) and one-sided-infinite bounds.
+    by_key_s = {(r["cfg"], r["rep"]): r
+                for r in gt.get("lbfgsb_special", [])}
+    if by_key_s:
+        n_exact = n_off1 = n_worse = 0
+        fx_diffs = []
+        rows = []
+        p = lt.LBFGSBParams(epsilon=1e-6, max_iterations=1000)
+        for ci, n in enumerate(NS):
+            cfg = 2100 + ci
+            d, b, lb, ub, x0 = make_lbfgsb_special_problems(cfg, n)
+
+            def solve(dv, bv, lbv, ubv, x):
+                return lt.minimize_b(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                     lb=lbv, ub=ubv, params=p)
+            res = jax.jit(jax.vmap(solve))(
+                jnp.asarray(d), jnp.asarray(b), jnp.asarray(lb),
+                jnp.asarray(ub), jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_s[(cfg, rep)]
+                nj = int(res.niter[rep])
+                nr = ref["niter"]
+                if nj == nr:
+                    n_exact += 1
+                elif abs(nj - nr) <= 1:
+                    n_off1 += 1
+                else:
+                    n_worse += 1
+                    rows.append((cfg, rep, nj, nr))
+                fr = ref["fx"]
+                fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                                max(1.0, abs(fr)))
+        total = n_exact + n_off1 + n_worse
+        print(f"L-BFGS-B special bounds (pinned/inf): {total} runs — "
+              f"exact niter {n_exact} ({100*n_exact/total:.1f}%), "
+              f"off-by-1 {n_off1}, worse {n_worse}")
+        print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+        for r in rows[:20]:
+            print("  MISMATCH", r)
+
 
 if __name__ == "__main__":
     main()
