@@ -79,7 +79,8 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                  iters: int,
                  *,
                  fun_and_grad=None,
-                 line_search: str = "morethuente") -> SolveResult:
+                 line_search: str = "morethuente",
+                 drive: str = "while") -> SolveResult:
     """Refine a stalled f32 solution with up to ``iters`` L-BFGS iterations
     in *double-float pair space* (:mod:`.utils.doublefloat`).
 
@@ -110,7 +111,9 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                      line_search=line_search)
     n = x0.shape[0]
     x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])
-    res2 = s.finalize(s.run(s.init(x2)))
+    st = s.init(x2)
+    st = s.run_fixed(st, iters) if drive == "fixed" else s.run(st)
+    res2 = s.finalize(st)
     x = dfl.pair_to_float(res2.x)
     grad = res2.grad[:n]
     # The polish solver's curvature pairs live in pair space ([m, 2n]);
@@ -145,7 +148,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      batch_axis: str = "batch",
                      polish_iters: int = 0,
                      refine_frac: float = 0.0,
-                     refine_iters: int = 0) -> SolveResult:
+                     refine_iters: int = 0,
+                     drive: str = "while") -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -165,6 +169,16 @@ def minimize_batched(fun: Optional[Callable] = None,
     — on f32 hardware this recovers the reference's double-precision
     solution quality at a few extra iterations' cost.
 
+    ``drive="fixed"`` replaces the termination-tested ``lax.while_loop``
+    with a static ``params.max_iterations``-trip ``lax.fori_loop`` of
+    frozen-masked steps (:func:`~.lbfgs.Solver` ``run_fixed``) — results
+    are bit-identical (finished instances freeze), but the loop has no
+    per-iteration all-done cond reduction.  Worth it when most of the
+    batch runs to the cap anyway (the headline bench regime); wasteful
+    when the batch converges long before the cap.  Requires a finite
+    ``params.max_iterations``; the polish phase (fixed 12 iterations by
+    construction) always profits.
+
     ``refine_frac``/``refine_iters`` enable straggler compaction
     (:func:`_compact_refine`): the batch runs in lockstep only to
     ``params.max_iterations``, then the hardest ``refine_frac`` of
@@ -179,11 +193,20 @@ def minimize_batched(fun: Optional[Callable] = None,
     """
     use_refine = refine_frac > 0.0 and refine_iters > 0
     x0s = jnp.asarray(x0s)
+    if drive not in ("while", "fixed"):
+        raise ValueError(f"drive must be 'while' or 'fixed', got {drive!r}")
+    if drive == "fixed":
+        if params.max_iterations == 0:
+            raise ValueError("drive='fixed' requires a finite "
+                             "params.max_iterations (the static trip count)")
+        if use_refine:
+            raise ValueError("drive='fixed' does not compose with straggler "
+                             "compaction (whose stages are while-driven)")
 
     def polish_batch(res):
         pol = jax.vmap(lambda xf: polish_solve(
             fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
-            line_search=line_search))(res.x)
+            line_search=line_search, drive=drive))(res.x)
         return _merge_polished(res, pol)
 
     if use_refine:
@@ -203,10 +226,14 @@ def minimize_batched(fun: Optional[Callable] = None,
                 s2, xs, k_refine, params.max_iterations))
             return polish_batch(res) if polish_iters else res
     else:
+        s1 = lbfgs.solver(fun, params, fun_and_grad=fun_and_grad,
+                          line_search=line_search)
+
         def solve_one(x0):
-            return lbfgs.minimize(fun, x0, params,
-                                  fun_and_grad=fun_and_grad,
-                                  line_search=line_search)
+            st = s1.init(x0)
+            st = (s1.run_fixed(st, params.max_iterations)
+                  if drive == "fixed" else s1.run(st))
+            return s1.finalize(st)
 
         def f(xs):
             res = jax.vmap(solve_one)(xs)
@@ -232,7 +259,8 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        line_search: str = "morethuente",
                        jit: bool = True,
                        gcp: str = "auto",
-                       unroll_subspace: bool = False) -> SolveResult:
+                       unroll_subspace: bool = False,
+                       drive: str = "while") -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
     per-instance [B, n].
 
@@ -248,11 +276,18 @@ def minimize_b_batched(fun: Optional[Callable] = None,
     1-2 a typical subspace solve needs), so it stays off by default.
     Pass ``gcp="scan"`` for the bit-exact reference-order path at any
     size, or ``gcp="prefix"`` to force the fast path (reassociated sums,
-    identical index sets)."""
+    identical index sets).  ``drive="fixed"`` as in
+    :func:`minimize_batched` (note the judged box configs typically
+    converge far before the cap, where the default while-drive wins)."""
     x0s = jnp.asarray(x0s)
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
     per_instance = lb.ndim == 2
+    if drive not in ("while", "fixed"):
+        raise ValueError(f"drive must be 'while' or 'fixed', got {drive!r}")
+    if drive == "fixed" and params.max_iterations == 0:
+        raise ValueError("drive='fixed' requires a finite "
+                         "params.max_iterations (the static trip count)")
     if gcp == "auto":
         # prefix builds [n, n] per-instance intermediates ([B, n, n] under
         # vmap) — a big win for the small-n batched regime, an OOM risk
@@ -264,7 +299,10 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                           fun_and_grad=fun_and_grad,
                           line_search=line_search, gcp=gcp,
                           unroll_subspace=unroll_subspace)
-        return s.finalize(s.run(s.init(x0)))
+        st = s.init(x0)
+        st = (s.run_fixed(st, params.max_iterations)
+              if drive == "fixed" else s.run(st))
+        return s.finalize(st)
 
     in_axes = (0, 0, 0) if per_instance else (0, None, None)
     f = jax.vmap(solve_one, in_axes=in_axes)

@@ -72,7 +72,13 @@ class Solver(NamedTuple):
     ``init(x0) -> state``; ``step(state) -> state`` runs ONE outer iteration
     (no-op once ``state.done``); ``finalize(state) -> SolveResult``;
     ``run(state) -> state`` iterates to termination inside one
-    ``lax.while_loop``.  All four are pure and jittable; ``state`` is an
+    ``lax.while_loop``.  ``run_fixed(state, iters)`` runs exactly ``iters``
+    frozen-masked steps in a ``lax.fori_loop`` — bit-identical to ``run``
+    whenever ``iters`` covers the instance's termination point (finished
+    instances freeze, see :func:`~.types.freeze_when`), but with a static
+    trip count, which lowers to a cheaper loop than the data-dependent
+    ``while_loop`` cond (no per-iteration all-done reduction; material for
+    capped lockstep batches).  All are pure and jittable; ``state`` is an
     :class:`LBFGSState` (or the L-BFGS-B equivalent) pytree.
     """
 
@@ -80,6 +86,7 @@ class Solver(NamedTuple):
     step: Callable
     finalize: Callable
     run: Callable
+    run_fixed: Callable
 
 
 def solver(fun: Optional[Callable] = None,
@@ -206,12 +213,17 @@ def solver(fun: Optional[Callable] = None,
     def run(c: LBFGSState) -> LBFGSState:
         return lax.while_loop(lambda s: ~s.done, step, c)
 
+    def run_fixed(c: LBFGSState, iters: int) -> LBFGSState:
+        return lax.fori_loop(0, iters, lambda _, s: step(s), c,
+                             unroll=False)
+
     def finalize(c: LBFGSState) -> SolveResult:
         return SolveResult(x=c.x, fx=c.fx, grad=c.grad, gnorm=c.gnorm,
                            niter=c.k, nfev=c.nfev, status=c.status,
                            history=c.hist)
 
-    return Solver(init=init, step=step, finalize=finalize, run=run)
+    return Solver(init=init, step=step, finalize=finalize, run=run,
+                  run_fixed=run_fixed)
 
 
 def minimize(fun: Optional[Callable] = None,

@@ -151,12 +151,17 @@ def solver(fun: Optional[Callable] = None,
     def run(c: LBFGSBState) -> LBFGSBState:
         return lax.while_loop(lambda s: ~s.done, step, c)
 
+    def run_fixed(c: LBFGSBState, iters: int) -> LBFGSBState:
+        return lax.fori_loop(0, iters, lambda _, s: step(s), c,
+                             unroll=False)
+
     def finalize(c: LBFGSBState) -> SolveResult:
         return SolveResult(x=c.x, fx=c.fx, grad=c.grad, gnorm=c.projgnorm,
                            niter=c.k, nfev=c.nfev, status=c.status,
                            history=c.hist)
 
-    return Solver(init=init, step=step, finalize=finalize, run=run)
+    return Solver(init=init, step=step, finalize=finalize, run=run,
+                  run_fixed=run_fixed)
 
 
 def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point):

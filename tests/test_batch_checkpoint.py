@@ -157,3 +157,68 @@ def test_refine_requires_finite_cap():
                          x0s=jnp.zeros((4, 6)),
                          params=LBFGSParams(max_iterations=0),
                          refine_frac=0.5, refine_iters=10)
+
+
+def _assert_trees_equal(a, b):
+    import jax
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for fa, fb in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_drive_fixed_bit_identical_unconstrained():
+    # run_fixed executes exactly max_iterations frozen-masked steps;
+    # converged instances freeze (no-op cond branch), so the result is
+    # BIT-identical to the termination-tested while_loop drive.
+    n, batch = 8, 12
+    rng = np.random.default_rng(7)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (batch, n)))
+    p = LBFGSParams(epsilon=1e-6, max_iterations=80)
+    a = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p)
+    b = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p,
+                         drive="fixed")
+    _assert_trees_equal(a, b)
+
+
+def test_drive_fixed_bit_identical_box():
+    n, batch = 6, 8
+    rng = np.random.default_rng(8)
+    x0s = jnp.asarray(rng.uniform(2.0, 4.0, (batch, n)))
+    lb = jnp.full((n,), 2.0)
+    ub = jnp.full((n,), 4.0)
+    p = LBFGSBParams(epsilon=1e-6, max_iterations=40)
+    a = minimize_b_batched(rosenbrock, x0s, lb, ub, p)
+    b = minimize_b_batched(rosenbrock, x0s, lb, ub, p, drive="fixed")
+    _assert_trees_equal(a, b)
+
+
+def test_drive_fixed_with_polish_matches_while():
+    n, batch = 6, 6
+    rng = np.random.default_rng(9)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (batch, n)))
+    p = LBFGSParams(epsilon=1e-8, max_iterations=60)
+    a = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p,
+                         polish_iters=5)
+    b = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p,
+                         polish_iters=5, drive="fixed")
+    _assert_trees_equal(a, b)
+
+
+def test_drive_fixed_validation():
+    with pytest.raises(ValueError, match="finite"):
+        minimize_batched(fun_and_grad=rosenbrock_fg,
+                         x0s=jnp.zeros((2, 4)),
+                         params=LBFGSParams(max_iterations=0),
+                         drive="fixed")
+    with pytest.raises(ValueError, match="compaction"):
+        minimize_batched(fun_and_grad=rosenbrock_fg,
+                         x0s=jnp.zeros((2, 4)),
+                         params=LBFGSParams(max_iterations=50),
+                         drive="fixed", refine_frac=0.5, refine_iters=10)
+    with pytest.raises(ValueError, match="drive"):
+        minimize_batched(fun_and_grad=rosenbrock_fg,
+                         x0s=jnp.zeros((2, 4)),
+                         params=LBFGSParams(max_iterations=50),
+                         drive="scan")
