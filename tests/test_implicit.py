@@ -1,0 +1,158 @@
+"""Implicit differentiation (lbfgspp_tpu.diff.implicit_minimize).
+
+Ground truths are closed-form solution maps (quadratics, clipped
+projections) and central finite differences on a ridge-regularized
+logistic regression.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lbfgspp_tpu import LBFGSParams, LBFGSBParams
+from lbfgspp_tpu.diff import implicit_minimize
+
+P = LBFGSParams(epsilon=1e-10, epsilon_rel=0.0, max_iterations=200)
+PB = LBFGSBParams(epsilon=1e-10, epsilon_rel=0.0, max_iterations=200)
+
+
+def test_identity_map_quadratic():
+    # x*(theta) = theta  =>  d sum(x*) / d theta = ones
+    def f(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2)
+
+    theta = jnp.asarray(np.linspace(-1.0, 2.0, 6))
+    g = jax.grad(lambda th: jnp.sum(
+        implicit_minimize(f, jnp.zeros(6), th, P).x))(theta)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+
+def test_nonseparable_quadratic_matches_closed_form():
+    # f = 0.5 x'Ax - theta'x  =>  x* = A^{-1} theta,
+    # grad_theta (c'x*) = A^{-1} c   (A symmetric)
+    rng = np.random.default_rng(0)
+    n = 8
+    B = rng.standard_normal((n, n))
+    A = jnp.asarray(B @ B.T + n * np.eye(n))
+    c = jnp.asarray(rng.standard_normal(n))
+
+    def f(x, theta):
+        return 0.5 * x @ (A @ x) - theta @ x
+
+    theta = jnp.asarray(rng.standard_normal(n))
+    g = jax.grad(lambda th: c @ implicit_minimize(
+        f, jnp.zeros(n), th, P).x)(theta)
+    want = np.linalg.solve(np.asarray(A), np.asarray(c))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-7)
+
+
+def test_fx_envelope_theorem():
+    # loss(theta) = f(x*(theta), theta); d loss/d theta = partial_theta f
+    # at the optimum.  f = 0.5||x - theta||^2 + 0.25 ||theta||^2
+    # => x* = theta, loss = 0.25||theta||^2, d loss = 0.5 theta.
+    def f(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2) + 0.25 * jnp.sum(theta ** 2)
+
+    theta = jnp.asarray([0.3, -1.2, 0.7])
+    g = jax.grad(lambda th: implicit_minimize(
+        f, jnp.zeros(3), th, P).fx)(theta)
+    np.testing.assert_allclose(np.asarray(g), 0.5 * np.asarray(theta),
+                               atol=1e-6)
+
+
+def test_box_active_set_zeroing():
+    # x* = clip(theta, lb, ub): interior coords pass gradient 1, active
+    # coords pass 0 (strict complementarity).
+    def f(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2)
+
+    lb = jnp.full(5, -1.0)
+    ub = jnp.full(5, 1.0)
+    theta = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 3.0])   # ends clip
+    res = implicit_minimize(f, jnp.zeros(5), theta, PB, lb=lb, ub=ub)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.clip(np.asarray(theta), -1.0, 1.0),
+                               atol=1e-8)
+    g = jax.grad(lambda th: jnp.sum(implicit_minimize(
+        f, jnp.zeros(5), th, PB, lb=lb, ub=ub).x))(theta)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 1.0, 1.0, 1.0, 0.0],
+                               atol=1e-6)
+
+
+def test_ridge_logreg_hyperparam_vs_finite_differences():
+    # d/d(log lam) of a validation loss through the ridge-logreg argmin.
+    rng = np.random.default_rng(1)
+    n, d = 40, 6
+    A = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.sign(jnp.asarray(rng.standard_normal(n)))
+    Av = jnp.asarray(rng.standard_normal((n, d)))
+    yv = jnp.sign(jnp.asarray(rng.standard_normal(n)))
+
+    def f(w, loglam):
+        z = y * (A @ w)
+        return jnp.mean(jnp.log1p(jnp.exp(-z))) \
+            + 0.5 * jnp.exp(loglam) * jnp.sum(w ** 2)
+
+    def val_loss(loglam):
+        w = implicit_minimize(f, jnp.zeros(d), loglam, P).x
+        z = yv * (Av @ w)
+        return jnp.mean(jnp.log1p(jnp.exp(-z)))
+
+    loglam = jnp.asarray(-1.0)
+    g = float(jax.grad(val_loss)(loglam))
+    eps = 1e-5
+    fd = (float(val_loss(loglam + eps)) - float(val_loss(loglam - eps))) \
+        / (2 * eps)
+    assert abs(g - fd) <= 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_fun_and_grad_path():
+    def fg(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2), x - theta
+
+    theta = jnp.asarray([1.0, -2.0, 0.5])
+    g = jax.grad(lambda th: jnp.sum(implicit_minimize(
+        fun_and_grad=fg, x0=jnp.zeros(3), theta=th, params=P).x))(theta)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+
+def test_vmap_over_theta():
+    def f(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2)
+
+    thetas = jnp.asarray(np.random.default_rng(2)
+                         .standard_normal((4, 5)))
+
+    def loss(th):
+        return jnp.sum(implicit_minimize(f, jnp.zeros(5), th, P).x ** 2)
+
+    g = jax.vmap(jax.grad(loss))(thetas)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * np.asarray(thetas),
+                               atol=1e-6)
+
+
+def test_no_precondition_matches():
+    def f(x, theta):
+        return 0.5 * jnp.sum((x - theta) ** 2) + 0.1 * jnp.sum(x ** 4)
+
+    theta = jnp.asarray([0.4, -0.8, 1.3])
+
+    def loss(th, pre):
+        return jnp.sum(implicit_minimize(f, jnp.zeros(3), th, P,
+                                         precondition=pre).x)
+
+    g1 = jax.grad(lambda th: loss(th, True))(theta)
+    g2 = jax.grad(lambda th: loss(th, False))(theta)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
+
+
+def test_validation_errors():
+    def f(x, theta):
+        return jnp.sum(x ** 2)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        implicit_minimize(x0=jnp.zeros(2), theta=jnp.zeros(2))
+    with pytest.raises(ValueError, match="both lb and ub"):
+        implicit_minimize(f, jnp.zeros(2), jnp.zeros(2),
+                          lb=jnp.zeros(2))
