@@ -113,6 +113,92 @@ def make_lbfgsb_special_problems(cfg, n):
     return d, b, lb, ub, x0
 
 
+def squartic_grid():
+    """(cfg_id, n, ls, m, eps, eps_rel) for the cfg=4000 block."""
+    cfg = 4000
+    for n in NS:
+        for m, eps, eps_rel in PSETS:
+            for ls in LSES:
+                yield cfg, n, ls, m, eps, eps_rel
+                cfg += 1
+
+
+def lbfgsb_squartic_grid():
+    cfg = 4500
+    for n in NS:
+        for m, eps in ((6, 1e-5), (3, 1e-6)):
+            yield cfg, n, m, eps
+            cfg += 1
+
+
+def pastdelta_grid():
+    """(cfg_id, n, ls) for the cfg=4600 block (past=3, delta=1e-9)."""
+    cfg = 4600
+    for n in NS:
+        for ls in ("nocedalwright", "morethuente"):
+            yield cfg, n, ls
+            cfg += 1
+
+
+def _draw_squartic(rng, n):
+    c = np.empty(n)
+    d = np.empty(n)
+    t = np.empty(n)
+    for i in range(n):
+        c[i] = rng.uniform(0.1, 2.0)
+    for i in range(n):
+        d[i] = rng.uniform(0.1, 2.0)
+    for i in range(n):
+        t[i] = rng.uniform(-1.0, 1.0)
+    return c, d, t
+
+
+def make_squartic_problems(cfg, n):
+    c = np.empty((REPS, n))
+    d = np.empty((REPS, n))
+    t = np.empty((REPS, n))
+    x0 = np.empty((REPS, n))
+    for rep in range(REPS):
+        rng = Rng((cfg << 32) | (rep + 1))
+        c[rep], d[rep], t[rep] = _draw_squartic(rng, n)
+        for i in range(n):
+            x0[rep, i] = rng.uniform(-2.0, 2.0)
+    return c, d, t, x0
+
+
+def make_lbfgsb_squartic_problems(cfg, n):
+    c = np.empty((REPS, n))
+    d = np.empty((REPS, n))
+    t = np.empty((REPS, n))
+    lb = np.empty((REPS, n))
+    ub = np.empty((REPS, n))
+    x0 = np.empty((REPS, n))
+    for rep in range(REPS):
+        rng = Rng((cfg << 32) | (rep + 1))
+        c[rep], d[rep], t[rep] = _draw_squartic(rng, n)
+        for i in range(n):
+            a = rng.uniform(-1.5, 1.5)
+            w = rng.uniform(0.05, 1.5)
+            lb[rep, i] = a - w
+            ub[rep, i] = a + w
+        for i in range(n):
+            x0[rep, i] = rng.uniform(lb[rep, i], ub[rep, i])
+    return c, d, t, lb, ub, x0
+
+
+def squartic_fg_factory(jnp):
+    """Objective with the EXACT per-coordinate operation order of
+    ref_fuzz.cpp's SQuartic (left-to-right products)."""
+    def make(cv, dv, tv):
+        def fg(x):
+            e = x - tv
+            e2 = e * e
+            g = 4.0 * cv * e2 * e + dv * e
+            return jnp.sum(cv * e2 * e2 + 0.5 * dv * e2), g
+        return fg
+    return make
+
+
 def make_lbfgsb_problems(cfg, n):
     d = np.empty((REPS, n))
     b = np.empty((REPS, n))
@@ -268,6 +354,135 @@ def main():
         print(f"L-BFGS-B special bounds (pinned/inf): {total} runs — "
               f"exact niter {n_exact} ({100*n_exact/total:.1f}%), "
               f"off-by-1 {n_off1}, worse {n_worse}")
+        print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+        for r in rows[:20]:
+            print("  MISMATCH", r)
+
+    make_sq = squartic_fg_factory(jnp)
+
+    # cfg=4000 block: separable convex quartic, L-BFGS.
+    by_key_q = {(r["cfg"], r["rep"]): r
+                for r in gt.get("lbfgs_squartic", [])}
+    if by_key_q:
+        n_exact = n_off1 = n_worse = 0
+        fx_diffs = []
+        rows = []
+        for cfg, n, ls, m, eps, eps_rel in squartic_grid():
+            c, d, t, x0 = make_squartic_problems(cfg, n)
+            p = lt.LBFGSParams(m=m, epsilon=eps, epsilon_rel=eps_rel,
+                               max_iterations=1000)
+
+            def solve(cv, dv, tv, x):
+                return lt.minimize(fun_and_grad=make_sq(cv, dv, tv), x0=x,
+                                   params=p, line_search=ls)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(c), jnp.asarray(d),
+                                           jnp.asarray(t), jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_q[(cfg, rep)]
+                nj = int(res.niter[rep])
+                nr = ref["niter"]
+                if nj == nr:
+                    n_exact += 1
+                elif abs(nj - nr) <= 1:
+                    n_off1 += 1
+                else:
+                    n_worse += 1
+                    rows.append((cfg, rep, ls, m, nj, nr))
+                fr = ref["fx"]
+                fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                                max(1.0, abs(fr)))
+        total = n_exact + n_off1 + n_worse
+        print(f"L-BFGS separable quartic: {total} runs — exact niter "
+              f"{n_exact} ({100*n_exact/total:.1f}%), off-by-1 {n_off1}, "
+              f"worse {n_worse}")
+        print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+        for r in rows[:20]:
+            print("  MISMATCH", r)
+
+    # cfg=4500 block: quartic L-BFGS-B.
+    by_key_qb = {(r["cfg"], r["rep"]): r
+                 for r in gt.get("lbfgsb_squartic", [])}
+    if by_key_qb:
+        n_exact = n_off1 = n_worse = 0
+        fx_diffs = []
+        rows = []
+        for cfg, n, m, eps in lbfgsb_squartic_grid():
+            c, d, t, lb, ub, x0 = make_lbfgsb_squartic_problems(cfg, n)
+            p = lt.LBFGSBParams(m=m, epsilon=eps, max_iterations=1000)
+
+            def solve(cv, dv, tv, lbv, ubv, x):
+                return lt.minimize_b(fun_and_grad=make_sq(cv, dv, tv),
+                                     x0=x, lb=lbv, ub=ubv, params=p)
+            res = jax.jit(jax.vmap(solve))(
+                jnp.asarray(c), jnp.asarray(d), jnp.asarray(t),
+                jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_qb[(cfg, rep)]
+                nj = int(res.niter[rep])
+                nr = ref["niter"]
+                if nj == nr:
+                    n_exact += 1
+                elif abs(nj - nr) <= 1:
+                    n_off1 += 1
+                else:
+                    n_worse += 1
+                    rows.append((cfg, rep, m, nj, nr))
+                fr = ref["fx"]
+                fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                                max(1.0, abs(fr)))
+        total = n_exact + n_off1 + n_worse
+        print(f"L-BFGS-B separable quartic: {total} runs — exact niter "
+              f"{n_exact} ({100*n_exact/total:.1f}%), off-by-1 {n_off1}, "
+              f"worse {n_worse}")
+        print(f"  fx rel diff: max {max(fx_diffs):.3e}")
+        for r in rows[:20]:
+            print("  MISMATCH", r)
+
+    # cfg=4600 block: past/delta objective-decrease termination.
+    by_key_pd = {(r["cfg"], r["rep"]): r
+                 for r in gt.get("lbfgs_pastdelta", [])}
+    if by_key_pd:
+        n_exact = n_off1 = n_worse = 0
+        fx_diffs = []
+        rows = []
+        for cfg, n, ls in pastdelta_grid():
+            d, b, x0 = make_lbfgs_problems(cfg, n)
+            p = lt.LBFGSParams(epsilon=1e-12, epsilon_rel=0.0, past=3,
+                               delta=1e-9, max_iterations=1000)
+
+            def solve(dv, bv, x):
+                return lt.minimize(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                   params=p, line_search=ls)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                           jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_pd[(cfg, rep)]
+                nj = int(res.niter[rep])
+                nr = ref["niter"]
+                if nr < 0:
+                    # reference threw (f64 decrease floor before the
+                    # delta test fired); JAX must report a line-search
+                    # failure status on the same instance
+                    if int(res.status[rep]) >= 10:
+                        n_exact += 1
+                    else:
+                        n_worse += 1
+                        rows.append((cfg, rep, ls, nj, "threw"))
+                    continue
+                if nj == nr:
+                    n_exact += 1
+                elif abs(nj - nr) <= 1:
+                    n_off1 += 1
+                else:
+                    n_worse += 1
+                    rows.append((cfg, rep, ls, nj, nr))
+                fr = ref["fx"]
+                fx_diffs.append(abs(float(res.fx[rep]) - fr) /
+                                max(1.0, abs(fr)))
+        total = n_exact + n_off1 + n_worse
+        print(f"L-BFGS past/delta termination: {total} runs — exact niter "
+              f"{n_exact} ({100*n_exact/total:.1f}%), off-by-1 {n_off1}, "
+              f"worse {n_worse}")
         print(f"  fx rel diff: max {max(fx_diffs):.3e}")
         for r in rows[:20]:
             print("  MISMATCH", r)

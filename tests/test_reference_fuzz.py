@@ -1,7 +1,7 @@
 """Fuzz parity vs the ACTUAL reference binary (yixuan/LBFGSpp + Eigen).
 
 ``scripts/reference_binary/ref_fuzz.cpp`` runs the reference library on
-576 random problem instances (shared xorshift64* RNG, see
+992 random problem instances (shared xorshift64* RNG, see
 ``fuzz_compare.py``) and the capture is checked in; these tests rebuild
 bit-identical instances and diff the JAX solvers against it.
 
@@ -12,6 +12,10 @@ Measured agreement (full sweep in fuzz_compare.py):
   four line searches, two (m, epsilon, epsilon_rel) sets and two sizes;
   final fx agrees to ~1e-15 relative.  **L-BFGS-B: 64/64 exact** on
   random boxes with active/inactive bounds.
+- **Separable convex quartics (non-quadratic curvature, reproducible
+  arithmetic): 256/256 L-BFGS and 64/64 L-BFGS-B runs exact**; the
+  past/delta termination block is exact on all runs the reference
+  finished (see test docstrings).
 - Pairwise Rosenbrock: iteration counts agree exactly on only ~41% of
   runs — the objective-value reductions are summed in a different order
   than Eigen's SIMD kernels, and on a chaotic trajectory a 1-ulp fx
@@ -230,3 +234,104 @@ def test_lbfgsb_special_bounds_bitcompat(gt):
             np.testing.assert_allclose(
                 float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
                 err_msg=f"cfg={cfg} rep={rep}")
+
+
+def test_lbfgs_squartic_bitcompat(gt):
+    """Separable convex quartic (cfg=4000 block): genuinely
+    non-quadratic curvature with elementwise-reproducible arithmetic —
+    every run must match the binary's iteration count exactly across
+    all four line searches and both param sets (256 runs)."""
+    path = _DIR / "reference_fuzz.json"
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgs_squartic", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("squartic capture not present")
+    make_sq = fuzz.squartic_fg_factory(jnp)
+    for cfg, n, ls, m, eps, eps_rel in fuzz.squartic_grid():
+        c, d, t, x0 = fuzz.make_squartic_problems(cfg, n)
+        p = lt.LBFGSParams(m=m, epsilon=eps, epsilon_rel=eps_rel,
+                           max_iterations=1000)
+
+        def solve(cv, dv, tv, x):
+            return lt.minimize(fun_and_grad=make_sq(cv, dv, tv), x0=x,
+                               params=p, line_search=ls)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(c), jnp.asarray(d),
+                                       jnp.asarray(t), jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = rows[(cfg, rep)]
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep, ls)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep} ls={ls}")
+
+
+def test_lbfgsb_squartic_bitcompat(gt):
+    """Box-constrained quartics (cfg=4500): the GCP/BOXCQP stack on a
+    non-quadratic objective — every run matches the binary exactly."""
+    path = _DIR / "reference_fuzz.json"
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgsb_squartic", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("squartic box capture not present")
+    make_sq = fuzz.squartic_fg_factory(jnp)
+    for cfg, n, m, eps in fuzz.lbfgsb_squartic_grid():
+        c, d, t, lb, ub, x0 = fuzz.make_lbfgsb_squartic_problems(cfg, n)
+        p = lt.LBFGSBParams(m=m, epsilon=eps, max_iterations=1000)
+
+        def solve(cv, dv, tv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=make_sq(cv, dv, tv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+
+        res = jax.jit(jax.vmap(solve))(
+            jnp.asarray(c), jnp.asarray(d), jnp.asarray(t),
+            jnp.asarray(lb), jnp.asarray(ub), jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = rows[(cfg, rep)]
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep}")
+
+
+def test_lbfgs_pastdelta_bitcompat(gt):
+    """past/delta objective-decrease termination (LBFGS.h:142-149,
+    cfg=4600): the L-BFGS defaults never enable it, so the main fuzz
+    doesn't cover this convergence path.  With past=3, delta=1e-9,
+    epsilon=1e-12: every run the reference finished matches its
+    iteration count exactly.  On runs where the reference THREW (the
+    f64 decrease floor reached before the delta test fires — 4/64 in
+    the capture) the outcome is decided by the last ulp of the fx
+    reduction: the JAX side must either fail the line search the same
+    way or terminate via the delta test at the floor (observed 2/2
+    each), never report gradient convergence."""
+    path = _DIR / "reference_fuzz.json"
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgs_pastdelta", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("pastdelta capture not present")
+    n_thrown = 0
+    for cfg, n, ls in fuzz.pastdelta_grid():
+        d, b, x0 = fuzz.make_lbfgs_problems(cfg, n)
+        p = lt.LBFGSParams(epsilon=1e-12, epsilon_rel=0.0, past=3,
+                           delta=1e-9, max_iterations=1000)
+
+        def solve(dv, bv, x):
+            return lt.minimize(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                               params=p, line_search=ls)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(x0))
+        for rep in range(fuzz.REPS):
+            ref = rows[(cfg, rep)]
+            st = int(res.status[rep])
+            if ref["niter"] < 0:
+                n_thrown += 1
+                assert st == int(lt.Status.CONVERGED_DELTA) or st >= 10, \
+                    (cfg, rep, ls, st)
+                continue
+            assert int(res.niter[rep]) == ref["niter"], (cfg, rep, ls)
+            np.testing.assert_allclose(
+                float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                err_msg=f"cfg={cfg} rep={rep} ls={ls}")
+    assert n_thrown == sum(1 for r in rows.values() if r["niter"] < 0)
