@@ -258,6 +258,8 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        fun_and_grad=None,
                        line_search: str = "morethuente",
                        jit: bool = True,
+                       mesh=None,
+                       batch_axis: str = "batch",
                        gcp: str = "auto",
                        unroll_subspace: bool = False,
                        drive: str = "while") -> SolveResult:
@@ -278,7 +280,11 @@ def minimize_b_batched(fun: Optional[Callable] = None,
     size, or ``gcp="prefix"`` to force the fast path (reassociated sums,
     identical index sets).  ``drive="fixed"`` as in
     :func:`minimize_batched` (note the judged box configs typically
-    converge far before the cap, where the default while-drive wins)."""
+    converge far before the cap, where the default while-drive wins).
+    ``mesh`` (a 1-D `jax.sharding.Mesh`) scales the batch data-parallel
+    across chips with zero collectives, as in :func:`minimize_batched`;
+    per-instance ``[B, n]`` bounds shard with the batch, shared ``[n]``
+    bounds replicate."""
     x0s = jnp.asarray(x0s)
     lb = jnp.asarray(lb)
     ub = jnp.asarray(ub)
@@ -306,6 +312,14 @@ def minimize_b_batched(fun: Optional[Callable] = None,
 
     in_axes = (0, 0, 0) if per_instance else (0, None, None)
     f = jax.vmap(solve_one, in_axes=in_axes)
-    if jit:
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(batch_axis))
+        x0s = jax.device_put(x0s, sh)
+        if per_instance:
+            lb = jax.device_put(lb, sh)
+            ub = jax.device_put(ub, sh)
+        f = jax.jit(f)
+    elif jit:
         f = jax.jit(f)
     return f(x0s, lb, ub)

@@ -222,3 +222,34 @@ def test_drive_fixed_validation():
                          x0s=jnp.zeros((2, 4)),
                          params=LBFGSParams(max_iterations=50),
                          drive="scan")
+
+
+def test_minimize_b_batched_over_mesh():
+    """Data-parallel BOX batch over a device mesh (zero collectives):
+    same solution-equivalence contract as the unconstrained mesh test
+    (SPMD lowering may reassociate per-instance reductions)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n, batch = 6, 16
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(rng.uniform(2.0, 4.0, (batch, n)))
+    lb = jnp.full((n,), 2.0)
+    ub = jnp.full((n,), 4.0)
+    p = LBFGSBParams(epsilon=1e-6, max_iterations=60)
+
+    ref = minimize_b_batched(rosenbrock, x0s, lb, ub, p)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    res = minimize_b_batched(rosenbrock, x0s, lb, ub, p, mesh=mesh)
+    assert res.x.sharding.spec == P("batch")
+    assert np.all(np.asarray(res.status) == np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-6)
+
+    # per-instance bounds shard with the batch
+    lb_pi = jnp.broadcast_to(lb, (batch, n))
+    ub_pi = jnp.broadcast_to(ub, (batch, n))
+    res2 = minimize_b_batched(rosenbrock, x0s, lb_pi, ub_pi, p, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res.x),
+                               atol=1e-6)
