@@ -295,10 +295,15 @@ def minimize_b_batched(fun: Optional[Callable] = None,
         raise ValueError("drive='fixed' requires a finite "
                          "params.max_iterations (the static trip count)")
     if gcp == "auto":
-        # prefix builds [n, n] per-instance intermediates ([B, n, n] under
-        # vmap) — a big win for the small-n batched regime, an OOM risk
-        # beyond it (B=4096, n=1024 f32 would be ~17 GB per temporary).
-        gcp = "prefix" if x0s.shape[-1] <= 128 else "scan"
+        # The prefix GCP's per-instance memory is O(n m) (chunked rank /
+        # permutation tiles, cumulative sums — no O(n^2) intermediates
+        # since the cumsum rewrite), so the fast path now covers the
+        # whole batched regime up to n ~ 2048 (measured on v5e: 3.2x the
+        # lockstep scan at n=256, 2.8x at n=1024; PERF.md table); beyond
+        # that the rank/permutation matmul FLOPs (O(n^2) per instance)
+        # start to dominate and the memory-lean sequential scan takes
+        # over.
+        gcp = "prefix" if x0s.shape[-1] <= 2048 else "scan"
 
     def solve_one(x0, lbi, ubi):
         s = lbfgsb.solver(fun, lbi, ubi, params,

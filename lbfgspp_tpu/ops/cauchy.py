@@ -160,6 +160,12 @@ def cauchy_point(bh: bmat.BHistory, x0: Array, g: Array,
                         free_mask=free_mask)
 
 
+# Target element count for the [chunk, n] one-hot / comparison tiles in
+# cauchy_point_prefix: bounds its peak temporary to O(PERM_TILE) per
+# instance instead of O(n^2) (chunk = PERM_TILE / n rows at a time).
+_PERM_TILE = 16384
+
+
 def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
                         lb: Array, ub: Array,
                         axis_name: Optional[str] = None) -> CauchyResult:
@@ -175,23 +181,26 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
         P_j   = vecp0 + sum_{k<=j} g_k w_k
         C_j   = T_j vecp0 + sum_{k<j} g_k (T_j - T_k) w_k
         fpp_j = fpp0 - cumsum[ theta g_i^2 + 2 g_i (u_i . P_{i-1})
-                               + g_i^2 K_ii ]
+                               + g_i^2 (u_i . w_i) ]
         fp_j  = fp0 + cumsum[ dt_i fpp_{i-1} ]
                     + cumsum[ g_i^2 + theta g_i z_i - g_i (u_i . C_i) ]
 
-    with ``u_i = M w_i`` and ``K = (W M) W'`` — everything becomes
-    triangular-masked matmuls and cumulative sums (MXU work, zero
-    sequential steps), and the walk's stop condition is evaluated for all
-    positions at once; the first position where it fires selects the
-    prefix state, exactly as the sequential walk would.  The permutation
-    into sorted order is applied as a one-hot matmul, not a gather
-    (batched gathers lower poorly on TPU).
+    with ``u_i = M w_i``.  The pairwise terms collapse onto the [n, 2m]
+    running sums ``cumP = cumsum(g_i w_i)`` / ``cumPT = cumsum(g_i t_i
+    w_i)`` (``u_i . P_{i-1} = u_i . cumP_{i-1}`` etc.), so the state
+    trajectory costs O(n m) — no O(n^2) matrix.  The stop condition is
+    evaluated for all positions at once; the first position where it
+    fires selects the prefix state, exactly as the sequential walk would.
+
+    The only superlinear work left is the stable rank computation and the
+    permutation into sorted order, done as comparison-counting and one-hot
+    matmuls (batched gathers lower poorly on TPU) in [chunk, n] tiles
+    (``_PERM_TILE``), keeping peak memory O(n) per instance at O(n^2 / c)
+    matmul FLOPs — cheap MXU work even at n in the thousands.
 
     Summation order differs from the sequential walk by reassociation, so
-    this path is opt-in (``gcp="prefix"``); ``tests/test_cauchy_subspace.py``
-    checks it against the scan walk on randomized cases.  Memory is
-    O(n^2) per instance (the K matrix) — intended for the batched
-    small/medium-n regime.
+    this path is opt-in (``gcp="prefix"``); ``tests/test_cauchy_prefix.py``
+    checks it against the scan walk on randomized structural cases.
     """
     del axis_name
     n = x0.shape[0]
@@ -214,22 +223,48 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
     participates = (~free0) & (~iszero)
     nord = jnp.sum(participates)
 
-    # --- Stable ranks by comparison counting (no sort/gather) ---
+    # --- Stable ranks by chunked comparison counting (no sort/gather) ---
+    c = max(1, min(n, _PERM_TILE // max(n, 1)))
+    n_pad = -(-n // c) * c
+    pad = n_pad - n
     key = jnp.where(participates, brk, inf)
-    idx = jnp.arange(n)
-    lt_mask = (key[None, :] < key[:, None])
-    tie_before = (key[None, :] == key[:, None]) & (idx[None, :] < idx[:, None])
-    rank = jnp.sum(lt_mask | tie_before, axis=1)          # [n] coord -> pos
-    q = (rank[None, :] == idx[:, None]).astype(dtype)     # [n, n] one-hot
+    key_p = jnp.concatenate([key, jnp.full((pad,), inf, dtype)]) \
+        if pad else key
+    idx = jnp.arange(n_pad)
+
+    def rank_chunk(args):
+        kc, ic = args
+        lt = key_p[None, :] < kc[:, None]
+        tie = (key_p[None, :] == kc[:, None]) & (idx[None, :] < ic[:, None])
+        return jnp.sum(lt | tie, axis=1)
+
+    rank_p = lax.map(rank_chunk, (key_p.reshape(-1, c),
+                                  idx.reshape(-1, c))).reshape(n_pad)
+    rank = rank_p[:n]                       # [n] coord -> sorted position
     valid = idx < nord
 
-    # Sorted-order quantities via the permutation matmul.
-    t_s = q @ jnp.where(participates, brk, 0.0)           # invalid rows -> 0
-    g_s = q @ jnp.where(participates, g, 0.0)
+    # Sorted-order quantities via chunked one-hot matmuls: one [n, 2m+3]
+    # value block permuted in [c, n] tiles.
     bound = jnp.where(vecd > 0.0, ub, lb)
-    z_s = q @ jnp.where(participates, bound - x0, 0.0)
-    w = bmat.w_rows(bh)                                   # [n, 2m]
-    w_s = jnp.einsum("sn,nk->sk", q, w, precision=hp)
+    vals = jnp.concatenate([
+        jnp.where(participates, brk, 0.0)[:, None],
+        jnp.where(participates, g, 0.0)[:, None],
+        jnp.where(participates, bound - x0, 0.0)[:, None],
+        bmat.w_rows(bh)], axis=1)           # [n, 2m+3]
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, vals.shape[1]), dtype)], axis=0)
+
+    def perm_chunk(pc):
+        oh = (rank_p[None, :] == pc[:, None]).astype(dtype)
+        return jnp.einsum("cn,nk->ck", oh, vals, precision=hp)
+
+    vals_s = lax.map(perm_chunk, idx.reshape(-1, c)).reshape(n_pad, -1)
+    t_s = vals_s[:, 0]
+    g_s = vals_s[:, 1]
+    z_s = vals_s[:, 2]
+    w_s = vals_s[:, 3:]                     # [n_pad, 2m]; rows at invalid
+    # positions carry g_s = 0, so every use below vanishes there.
 
     # --- Initial fp / fpp (Cauchy.h:150-161) ---
     vecp0 = bmat.apply_wtv(bh, vecd)
@@ -238,13 +273,18 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
 
     mdense = bh.mdense
     u_s = jnp.einsum("sk,kl->sl", w_s, mdense, precision=hp)   # rows M w_i
-    kmat = jnp.einsum("sk,tk->st", u_s, w_s, precision=hp)     # K = W M W'
+    kdiag = jnp.sum(u_s * w_s, axis=1)                         # u_i . w_i
 
     gg = g_s * g_s
-    kdiag = jnp.diagonal(kmat)
-    low = jnp.tril(jnp.ones((n, n), dtype), k=-1)
-    a_vec = jnp.einsum("st,t->s", kmat * low, g_s, precision=hp)
-    b_vec = jnp.einsum("st,t->s", kmat * low, g_s * t_s, precision=hp)
+    gw = g_s[:, None] * w_s
+    cum_p = jnp.cumsum(gw, axis=0)                             # sum_{t<=s}
+    cum_p_prev = jnp.concatenate(
+        [jnp.zeros((1, 2 * m), dtype), cum_p[:-1]], axis=0)
+    cum_pt = jnp.cumsum(t_s[:, None] * gw, axis=0)
+    cum_pt_prev = jnp.concatenate(
+        [jnp.zeros((1, 2 * m), dtype), cum_pt[:-1]], axis=0)
+    a_vec = jnp.sum(u_s * cum_p_prev, axis=1)   # u_i . sum_{t<i} g_t w_t
+    b_vec = jnp.sum(u_s * cum_pt_prev, axis=1)  # u_i . sum_{t<i} g_t t_t w_t
     uv0 = u_s @ vecp0                                          # u_i . vecp0
 
     # fpp prefix
@@ -267,23 +307,22 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
     jstar = jnp.argmax(stop)                                   # first stop
     ncross = jnp.where(any_stop, jstar, nord)
 
-    crossed_s = idx < ncross
-    crossed = jnp.einsum("sn,s->n", q, crossed_s.astype(dtype),
-                         precision=hp) > 0.5
+    crossed = rank < ncross                 # coordinate order directly
     ncrossed = jnp.sum(crossed)
     nfree0 = jnp.sum(free0)
     crossed_all = (nfree0 == 0) & (ncrossed == nord)
 
-    # State after the last crossed coordinate (index ncross - 1).
+    # State after the last crossed coordinate (index ncross - 1), selected
+    # from the prefix arrays with one-hot dots.
     last = ncross - 1
     onehot_last = (idx == last).astype(dtype)
     fp = jnp.where(ncross == 0, fp0, onehot_last @ fp_pref)
     fpp = jnp.where(ncross == 0, fpp0, onehot_last @ fpp_pref)
     il = jnp.where(ncross == 0, jnp.zeros((), dtype), onehot_last @ t_s)
-    cg = jnp.where(crossed_s, g_s, 0.0)
-    vecp_l = vecp0 + jnp.einsum("s,sk->k", cg, w_s, precision=hp)
-    vecc_l = il * vecp0 + jnp.einsum("s,sk->k", cg * (il - t_s), w_s,
-                                     precision=hp)
+    cum_p_last = onehot_last @ cum_p        # sum_{t < ncross} g_t w_t
+    cum_pt_last = onehot_last @ cum_pt
+    vecp_l = vecp0 + cum_p_last
+    vecc_l = il * vecp0 + il * cum_p_last - cum_pt_last
 
     # fpp ~ 0 rescue (Cauchy.h:258-262)
     deltatmin = jnp.where(fpp < eps, -fp / eps, -fp / fpp)
