@@ -19,7 +19,7 @@ from .lbfgs import (minimize, final_approx_hessian,
 from .lbfgsb import (minimize as minimize_b, solver as solver_b,
                      LBFGSBState)
 from .batch import minimize_batched, minimize_b_batched
-from .diff import implicit_minimize
+from .diff import implicit_minimize, implicit_minimize_sharded
 
 __version__ = "0.1.0"
 
@@ -33,5 +33,5 @@ __all__ = [
     "minimize_b",
     "solver", "solver_b", "Solver", "LBFGSState", "LBFGSBState",
     "minimize_batched", "minimize_b_batched",
-    "implicit_minimize",
+    "implicit_minimize", "implicit_minimize_sharded",
 ]

@@ -58,6 +58,7 @@ import jax.numpy as jnp
 from .params import LBFGSParams, LBFGSBParams
 from .types import SolveResult
 from .ops import history as hist_ops
+from .parallel import collectives as coll
 from . import lbfgs, lbfgsb
 
 Array = jax.Array
@@ -194,3 +195,197 @@ def implicit_minimize(fun: Optional[Callable] = None,
 
     solve.defvjp(fwd, bwd)
     return solve(jnp.asarray(x0), theta)
+
+
+def _pcg(amat, b, minv, tol, maxiter, axis_name):
+    """Preconditioned conjugate gradients with COLLECTIVE inner products
+    (:func:`..parallel.collectives.pdot`) — runs on a feature shard under
+    ``shard_map``; every vector op is local, every reduction one psum."""
+    from jax import lax
+
+    bnorm2 = coll.psqnorm(b, axis_name)
+    z0 = minv(b) if minv is not None else b
+    rz0 = coll.pdot(b, z0, axis_name)
+
+    def cond(c):
+        i, x, r, z, p, rz = c
+        return (i < maxiter) & (coll.psqnorm(r, axis_name)
+                                > tol * tol * bnorm2)
+
+    def body(c):
+        i, x, r, z, p, rz = c
+        ap = amat(p)
+        alpha = rz / coll.pdot(p, ap, axis_name)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = minv(r) if minv is not None else r
+        rz_new = coll.pdot(r, z, axis_name)
+        p = z + (rz_new / rz) * p
+        return i + 1, x, r, z, p, rz_new
+
+    init = (jnp.zeros((), jnp.int32), jnp.zeros_like(b), b, z0, z0, rz0)
+    return lax.while_loop(cond, body, init)[1]
+
+
+def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
+                              x0: Array = None,
+                              theta=None,
+                              params=None,
+                              *,
+                              local_fun_and_grad=None,
+                              lb: Optional[Array] = None,
+                              ub: Optional[Array] = None,
+                              mesh=None,
+                              axis_name: str = "feat",
+                              line_search: Optional[str] = None,
+                              precondition: bool = True,
+                              cg_tol: float = 1e-8,
+                              cg_maxiter: int = 200) -> SolveResult:
+    """Implicitly-differentiable solve with the parameter vector sharded
+    over a device mesh — :func:`implicit_minimize` for the huge-n regime.
+
+    ``local_fun(x_local, theta) -> fx_partial`` follows the sharded
+    partial-objective contract (:mod:`..parallel.sharded`): it receives
+    this device's shard of ``x`` plus the replicated ``theta`` pytree and
+    returns the shard's additive contribution to the global objective.
+    The forward pass is :func:`~..parallel.sharded.minimize_sharded` (or
+    the box variant when ``lb``/``ub`` are given, global [n] vectors
+    sharded like ``x0``); the backward pass runs a COLLECTIVE
+    preconditioned-CG adjoint under the same ``shard_map`` — local
+    Hessian-vector products via ``jax.jvp`` of the local gradient (psums
+    inside the objective transpose correctly), one psum per CG dot, and
+    the solve's own sharded curvature history as the preconditioner.
+
+    ``theta`` enters the mapped adjoint as a replicated argument, so
+    shard_map's varying-aware AD accounts for cross-device accumulation
+    itself (the transpose of the implicit broadcast is a psum) — the
+    returned ``d theta`` is exact whether theta feeds per-feature local
+    terms or replicated post-collective ones.
+
+    Only ``.x`` and ``.fx`` of the result carry derivatives (see
+    :func:`implicit_minimize`).
+    """
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from .parallel import sharded as shd
+
+    if (local_fun is None) == (local_fun_and_grad is None):
+        raise ValueError(
+            "exactly one of 'local_fun' / 'local_fun_and_grad' is required")
+    boxed = lb is not None or ub is not None
+    if boxed and (lb is None or ub is None):
+        raise ValueError("boxes need both lb and ub (use +-inf for "
+                         "one-sided bounds)")
+    if params is None:
+        params = LBFGSBParams() if boxed else LBFGSParams()
+    if line_search is None:
+        line_search = "morethuente" if boxed else "nocedalwright"
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+
+    if local_fun is not None:
+        def gfun_l(x_l, th):
+            return jax.grad(local_fun, argnums=0)(x_l, th)
+
+        def vfun_l(x_l, th):          # shard-partial objective value
+            return local_fun(x_l, th)
+    else:
+        def gfun_l(x_l, th):
+            return local_fun_and_grad(x_l, th)[1]
+
+        def vfun_l(x_l, th):
+            return local_fun_and_grad(x_l, th)[0]
+
+    def primal(x0, theta):
+        if local_fun is not None:
+            lf = lambda xl: local_fun(xl, theta)
+            lfg = None
+        else:
+            lf = None
+            lfg = lambda xl: local_fun_and_grad(xl, theta)
+        if boxed:
+            return shd.minimize_b_sharded(
+                local_fun=lf, x0=x0, lb=lb, ub=ub, params=params,
+                mesh=mesh, axis_name=axis_name, local_fun_and_grad=lfg,
+                line_search=line_search)
+        return shd.minimize_sharded(
+            local_fun=lf, x0=x0, params=params, mesh=mesh,
+            axis_name=axis_name, local_fun_and_grad=lfg,
+            line_search=line_search)
+
+    @jax.custom_vjp
+    def solve(x0, theta):
+        return primal(x0, theta)
+
+    def fwd(x0, theta):
+        res = primal(x0, theta)
+        return res, (res.x, res.grad, res.history, theta)
+
+    def bwd(residuals, ct: SolveResult):
+        xs, gs, hist, theta = residuals
+        dtype = xs.dtype
+        ct_fx = jnp.asarray(ct.fx, dtype)
+        theta_specs = jax.tree.map(lambda _: P(), theta)
+        hist_specs = (shd._result_specs_b(axis_name).history if boxed
+                      else shd._result_specs(axis_name).history)
+
+        def adjoint_local(xs_l, gs_l, hist_l, ctx_l, ctfx, th,
+                          lb_l, ub_l):
+            if boxed:
+                free = ((xs_l > lb_l) & (xs_l < ub_l)).astype(dtype)
+            else:
+                free = jnp.ones_like(xs_l)
+            rhs = free * (ctx_l + ctfx * gs_l)
+
+            def hvp(u_l):
+                return jax.jvp(lambda xl: gfun_l(xl, th), (xs_l,),
+                               (u_l,))[1]
+
+            def amat(u_l):
+                return free * hvp(free * u_l) + (1.0 - free) * u_l
+
+            base_hist = getattr(hist_l, "base", hist_l)
+            if precondition:
+                def minv(r_l):
+                    return free * hist_ops.apply_hv(
+                        base_hist, free * r_l, 1.0, axis_name) \
+                        + (1.0 - free) * r_l
+            else:
+                minv = None
+
+            u_l = free * _pcg(amat, rhs, minv, cg_tol, cg_maxiter,
+                              axis_name)
+
+            _, g_vjp = jax.vjp(lambda t: gfun_l(xs_l, t), th)
+            (dth,) = g_vjp(-u_l)
+            _, f_vjp = jax.vjp(lambda t: vfun_l(xs_l, t), th)
+            # local_fun returns a device-varying partial value (cotangent
+            # must be marked varying for shard_map's type system);
+            # local_fun_and_grad returns the replicated global fx
+            # (cotangent stays invariant)
+            ct_val = (coll.pvary(ctfx, axis_name) if local_fun is not None
+                      else ctfx)
+            (dth_f,) = f_vjp(ct_val)
+            # NOTE no manual psum here: ``th`` enters the mapped function
+            # as a replicated (device-invariant) argument, so shard_map's
+            # varying-aware AD already inserts the cross-device psum when
+            # transposing the implicit pvary — the returned cotangent is
+            # the globally summed dtheta on every device.
+            dth = jax.tree.map(jnp.add, dth, dth_f)
+            return jnp.zeros_like(xs_l), dth
+
+        P_ = P(axis_name)
+        bound_specs = (P_, P_) if boxed else (P(), P())
+        lb_in = jnp.asarray(lb, dtype) if boxed else jnp.zeros(())
+        ub_in = jnp.asarray(ub, dtype) if boxed else jnp.zeros(())
+        shmapped = jax.shard_map(
+            adjoint_local, mesh=mesh,
+            in_specs=(P_, P_, hist_specs, P_, P(), theta_specs)
+            + bound_specs,
+            out_specs=(P_, theta_specs))
+        dx0, dtheta = shmapped(xs, gs, hist, ct.x, ct_fx, theta,
+                               lb_in, ub_in)
+        return dx0, dtheta
+
+    solve.defvjp(fwd, bwd)
+    return solve(x0, theta)
