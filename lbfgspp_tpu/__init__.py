@@ -18,7 +18,7 @@ from .lbfgs import (minimize, final_approx_hessian,
                     final_approx_inverse_hessian, solver, Solver, LBFGSState)
 from .lbfgsb import (minimize as minimize_b, solver as solver_b,
                      LBFGSBState)
-from .batch import minimize_batched, minimize_b_batched
+from .batch import minimize_batched, minimize_b_batched, best_result
 from .diff import implicit_minimize, implicit_minimize_sharded
 
 __version__ = "0.1.0"
@@ -32,6 +32,6 @@ __all__ = [
     "minimize", "final_approx_hessian", "final_approx_inverse_hessian",
     "minimize_b",
     "solver", "solver_b", "Solver", "LBFGSState", "LBFGSBState",
-    "minimize_batched", "minimize_b_batched",
+    "minimize_batched", "minimize_b_batched", "best_result",
     "implicit_minimize", "implicit_minimize_sharded",
 ]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .params import LBFGSParams, LBFGSBParams
-from .types import SolveResult, Status
+from .types import SolveResult, Status, SUCCESS_STATUSES
 from . import lbfgs, lbfgsb
 
 Array = jax.Array
@@ -247,6 +247,33 @@ def minimize_batched(fun: Optional[Callable] = None,
     elif jit:
         f = jax.jit(f)
     return f(x0s)
+
+
+def best_result(results: SolveResult,
+                prefer_success: bool = True) -> SolveResult:
+    """Select the single best instance from a batched :class:`SolveResult`
+    — the multistart reduction (the reference's examples run N random
+    starts and keep checking each one,
+    example-rosenbrock-bracketing.cpp:44-55; here: one vmap + this).
+
+    Picks the instance with the lowest ``fx``; with ``prefer_success``
+    (default) instances whose status is in :data:`~.types.SUCCESS_STATUSES`
+    outrank failed ones regardless of their fx (a diverged instance can
+    report a spuriously low objective through a NaN/overflow region).
+    Works under ``jit``; NaN fx values always lose.
+    """
+    fx = results.fx
+    bad = jnp.isnan(fx)
+    if prefer_success:
+        ok = jnp.isin(results.status,
+                      jnp.asarray([int(s) for s in SUCCESS_STATUSES]))
+        bad = bad | ~ok
+    keyed = jnp.where(bad, jnp.inf, fx)
+    # all-failed batch: fall back to plain fx so argmin stays meaningful
+    keyed = jnp.where(jnp.all(bad), jnp.where(jnp.isnan(fx), jnp.inf, fx),
+                      keyed)
+    i = jnp.argmin(keyed)
+    return jax.tree.map(lambda a: a[i], results)
 
 
 def minimize_b_batched(fun: Optional[Callable] = None,

@@ -1,6 +1,7 @@
 """Tests for the batch convenience API and checkpoint file helpers."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -253,3 +254,32 @@ def test_minimize_b_batched_over_mesh():
     res2 = minimize_b_batched(rosenbrock, x0s, lb_pi, ub_pi, p, mesh=mesh)
     np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res.x),
                                atol=1e-6)
+
+
+def test_best_result_multistart_selection():
+    from lbfgspp_tpu.batch import best_result
+    from lbfgspp_tpu.types import Status
+
+    n, batch = 6, 32
+    rng = np.random.default_rng(13)
+    x0s = jnp.asarray(rng.uniform(-2, 2, (batch, n)))
+    p = LBFGSParams(epsilon=1e-8, max_iterations=300)
+    res = minimize_batched(fun_and_grad=rosenbrock_fg, x0s=x0s, params=p)
+    best = best_result(res)
+    assert best.x.shape == (n,)
+    assert float(best.fx) == float(np.min(np.asarray(res.fx)))
+    # jit composes
+    best2 = jax.jit(best_result, static_argnames="prefer_success")(res)
+    assert float(best2.fx) == float(best.fx)
+
+    # failed instances are outranked even with lower fx
+    doctored = res._replace(
+        fx=res.fx.at[0].set(-1e30),
+        status=res.status.at[0].set(jnp.int32(Status.LS_MAX_LINESEARCH)))
+    best3 = best_result(doctored)
+    assert float(best3.fx) != -1e30
+    # ... unless every instance failed (fallback to plain argmin)
+    all_bad = doctored._replace(
+        status=jnp.full_like(res.status, jnp.int32(Status.LS_MAX_LINESEARCH)))
+    best4 = best_result(all_bad)
+    assert float(best4.fx) == -1e30
