@@ -13,12 +13,16 @@ from .backtracking import backtracking
 from .bracketing import bracketing
 from .morethuente import morethuente
 from .nocedalwright import nocedalwright
+from .speculative import speculative, make_speculative
 
 LINE_SEARCHES = {
     "backtracking": backtracking,
     "bracketing": bracketing,
     "morethuente": morethuente,
     "nocedalwright": nocedalwright,
+    # TPU-native batched-throughput search (no reference counterpart):
+    # evaluates a K-wide candidate ladder per round, see speculative.py.
+    "speculative": speculative,
 }
 
 
@@ -34,4 +38,5 @@ def get_line_search(name_or_fn):
 
 
 __all__ = ["backtracking", "bracketing", "morethuente", "nocedalwright",
+           "speculative", "make_speculative",
            "LINE_SEARCHES", "get_line_search"]

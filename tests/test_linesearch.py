@@ -33,7 +33,12 @@ def random_case(seed, n=8):
     return xp, drt, fx, grad, dg
 
 
-@pytest.mark.parametrize("name", sorted(LINE_SEARCHES))
+# "speculative" is a TPU-native batched-throughput search with no
+# reference counterpart (hence no oracle); see test_speculative.py.
+ORACLE_SEARCHES = sorted(set(LINE_SEARCHES) & set(oracle.LINE_SEARCHES))
+
+
+@pytest.mark.parametrize("name", ORACLE_SEARCHES)
 @pytest.mark.parametrize("seed", range(12))
 def test_matches_oracle(name, seed):
     params = LBFGSParams(max_linesearch=40)
