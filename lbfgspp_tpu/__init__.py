@@ -19,6 +19,7 @@ from .lbfgs import (minimize, final_approx_hessian,
 from .lbfgsb import (minimize as minimize_b, solver as solver_b,
                      LBFGSBState)
 from .batch import minimize_batched, minimize_b_batched, best_result
+from .df64 import minimize_df64
 from .diff import implicit_minimize, implicit_minimize_sharded
 
 __version__ = "0.1.0"
@@ -33,5 +34,6 @@ __all__ = [
     "minimize_b",
     "solver", "solver_b", "Solver", "LBFGSState", "LBFGSBState",
     "minimize_batched", "minimize_b_batched", "best_result",
+    "minimize_df64",
     "implicit_minimize", "implicit_minimize_sharded",
 ]

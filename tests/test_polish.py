@@ -60,3 +60,44 @@ def test_polish_preserves_converged_instances():
     params = LBFGSParams(epsilon=1e-5, max_iterations=50)
     pol = polish_solve(rosenbrock, x, params, 8)
     assert float(_maxerr(pol.x)) <= 1e-6
+
+
+def test_minimize_df64_full_solve_reaches_f64_quality():
+    """A from-scratch pair-space solve (lbfgspp_tpu.minimize_df64) must
+    reach double-precision-criterion accuracy from f32 inputs — far below
+    the ~1e-4 f32 floor — and report convergence, not a cap."""
+    from lbfgspp_tpu import minimize_df64
+    from lbfgspp_tpu.types import Status
+
+    params = LBFGSParams(epsilon=1e-7, epsilon_rel=1e-7, max_iterations=500)
+    x0 = jnp.asarray(np.full(10, -1.5), jnp.float32)
+    res = jax.jit(lambda x: minimize_df64(rosenbrock, x, params))(x0)
+    assert int(res.status) == Status.CONVERGED_GRAD
+    assert res.x.dtype == jnp.float32
+    assert _maxerr(res.x) < 1e-6          # df64 accuracy, f32 storage
+    assert float(res.fx) < 1e-12          # far below the ~1e-8 f32 floor
+
+
+def test_minimize_df64_vmap():
+    from lbfgspp_tpu import minimize_df64
+
+    params = LBFGSParams(epsilon=1e-8, max_iterations=500)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (8, 12)), jnp.float32)
+    res = jax.jit(jax.vmap(lambda x: minimize_df64(rosenbrock, x,
+                                                   params)))(x0s)
+    assert np.all(_maxerr(res.x) <= 1e-4)  # reference multistart criterion
+
+
+def test_minimize_df64_matches_f64_cpu_solution():
+    """The df64 f32 solve and a native-f64 solve must agree to ~f32
+    resolution of the df64 result (both are at the true optimum)."""
+    from lbfgspp_tpu import minimize, minimize_df64
+
+    params = LBFGSParams(epsilon=1e-9, max_iterations=500)
+    x0_32 = jnp.asarray(np.full(8, 0.5), jnp.float32)
+    x0_64 = jnp.asarray(np.full(8, 0.5), jnp.float64)
+    r32 = minimize_df64(rosenbrock, x0_32, params)
+    r64 = minimize(rosenbrock, x0_64, params, line_search="morethuente")
+    np.testing.assert_allclose(np.asarray(r32.x, np.float64),
+                               np.asarray(r64.x), atol=2e-7)
