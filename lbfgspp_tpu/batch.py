@@ -296,8 +296,9 @@ def minimize_b_batched(fun: Optional[Callable] = None,
     ``gcp="auto"`` picks the batched fast path — the prefix-sum GCP
     (all-parallel, no per-breakpoint scan; under ``vmap`` the sequential
     walk of the reference formulation serializes the whole batch at each
-    tiny step) — when its O(n^2)-per-instance intermediates are cheap
-    (n <= 128), and the memory-lean sequential scan for larger n.
+    tiny step) — for n <= 2048 (its per-instance memory is O(n m) since
+    the cumsum rewrite; only the rank/permutation matmul FLOPs grow as
+    O(n^2)), and the memory-lean sequential scan for larger n.
     Measured on TPU (batch 1024, Rosenbrock n=10): prefix GCP 13.5k
     solves/s vs 1.5k for the scan walk; the statically-unrolled BOXCQP
     (``unroll_subspace=True``) measured *slower* (6.4k — it always pays

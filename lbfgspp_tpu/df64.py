@@ -20,9 +20,10 @@ coordinate box on ``[hi; lo]``, so L-BFGS-B does not pair-lift.
 
 Semantics note: convergence is tested on the PAIR-space gradient, whose
 Euclidean norm is ``sqrt(2) * ||df64 grad||`` (the true gradient is
-duplicated on both halves); ``epsilon`` is pre-divided by ``sqrt(2)`` so
-the test matches the reference's ``||g|| <= max(eps, eps_rel ||x||)``
-(LBFGS.h:137) on the underlying gradient.
+duplicated on both halves); ``epsilon`` and ``epsilon_rel`` are
+pre-multiplied by ``sqrt(2)`` so the test matches the reference's
+``||g|| <= max(eps, eps_rel ||x||)`` (LBFGS.h:137) on the underlying
+gradient.
 """
 
 from __future__ import annotations
@@ -61,9 +62,13 @@ def minimize_df64(fun: Optional[Callable] = None,
     x0 = jnp.asarray(x0)
     n = x0.shape[0]
     fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
+    # Pair-space gradient norm is sqrt(2)*||g|| (the true df64 gradient is
+    # duplicated on both halves), and ||[hi; lo]|| ~ ||x||: to keep the
+    # reference test ||g|| <= max(eps, eps_rel ||x||) (LBFGS.h:137), both
+    # thresholds must be INFLATED by sqrt(2).
     pparams = dataclasses.replace(
-        params, epsilon=params.epsilon / math.sqrt(2.0),
-        epsilon_rel=params.epsilon_rel / math.sqrt(2.0))
+        params, epsilon=params.epsilon * math.sqrt(2.0),
+        epsilon_rel=params.epsilon_rel * math.sqrt(2.0))
     s = lbfgs.solver(fun_and_grad=fg2, params=pparams,
                      line_search=line_search)
     x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])

@@ -87,7 +87,11 @@ def make_speculative(k: int = 8, dec: float = 0.5, inc: float = 2.0):
             [inc] + [dec ** j for j in range(k - 1)], dtype)
 
         invalid = step0 <= 0.0
-        dg_init = coll.pdot(grad0, drt, axis_name)
+        # The driver passes dg0 = g.d freshly computed (unified signature);
+        # unlike the parity searches (which mirror the reference's
+        # recompute, LineSearchBacktracking.h:60) this non-parity search
+        # reuses it — one fewer [n] reduction (and collective) per call.
+        dg_init = dg0
         not_descent = dg_init > 0.0
         pre_fail = invalid | not_descent
         pre_status = jnp.where(
