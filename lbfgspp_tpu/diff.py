@@ -64,6 +64,29 @@ from . import lbfgs, lbfgsb
 Array = jax.Array
 
 
+def _add_cotangents(a, b):
+    """Leafwise cotangent sum that passes ``float0`` leaves through.
+
+    ``jax.vjp`` returns ``float0`` cotangents for non-float leaves of
+    ``theta`` (integer labels, boolean masks riding along in the pytree);
+    ``jnp.add`` rejects those, and both addends are float0 on exactly the
+    same leaves (they are cotangents of the same pytree)."""
+    def add(u, v):
+        if getattr(u, "dtype", None) == jax.dtypes.float0:
+            return u
+        return jnp.add(u, v)
+    return jax.tree.map(add, a, b)
+
+
+def _resolve_cg_tol(cg_tol, dtype):
+    """Dtype-aware default CG tolerance: 1e-8 needs ~f64; the f32
+    attainable relative residual floor is ~eps = 1.2e-7, so an f32 solve
+    with tol below it would spin to maxiter with no accuracy gain."""
+    if cg_tol is not None:
+        return cg_tol
+    return 1e-8 if jnp.finfo(dtype).bits >= 64 else 3e-6
+
+
 def _value_fn(fun, fun_and_grad):
     if fun is not None:
         return fun
@@ -86,8 +109,9 @@ def implicit_minimize(fun: Optional[Callable] = None,
                       ub: Optional[Array] = None,
                       line_search: Optional[str] = None,
                       precondition: bool = True,
-                      cg_tol: float = 1e-8,
-                      cg_maxiter: Optional[int] = None) -> SolveResult:
+                      cg_tol: Optional[float] = None,
+                      cg_maxiter: int = 200,
+                      active_tol: float = 0.0) -> SolveResult:
     """Solve ``argmin_x fun(x, theta)`` and make the result differentiable
     with respect to ``theta`` (a pytree of arrays) via the implicit
     function theorem.
@@ -102,8 +126,19 @@ def implicit_minimize(fun: Optional[Callable] = None,
 
     ``precondition`` uses the final L-BFGS curvature history (the
     two-loop :func:`~.ops.history.apply_hv`) as the CG preconditioner;
-    ``cg_tol``/``cg_maxiter`` control the adjoint solve
-    (``jax.scipy.sparse.linalg.cg`` defaults apply when ``None``).
+    ``cg_tol``/``cg_maxiter`` control the adjoint solve (the tolerance
+    default is dtype-aware: 1e-8 in f64, 3e-6 in f32 — below the f32
+    residual floor CG cannot converge; the finite ``maxiter`` default
+    bounds the adjoint cost on ill-conditioned problems — raise it when
+    the Hessian's condition number demands more than ~200 iterations).
+
+    ``active_tol`` widens the active-set classification for boxes: a
+    coordinate within ``active_tol`` of a bound is treated as active
+    (derivative 0).  The default 0.0 matches the solver's exact
+    bound-snapping (the GCP and ``force_bounds`` land active coordinates
+    bitwise on the bound); set a small positive value if a custom
+    termination leaves active coordinates epsilon-inside the bound,
+    where misclassifying them as free gives an O(1)-wrong derivative.
     """
     if (fun is None) == (fun_and_grad is None):
         raise ValueError("exactly one of 'fun' / 'fun_and_grad' is required")
@@ -152,7 +187,8 @@ def implicit_minimize(fun: Optional[Callable] = None,
         if boxed:
             lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), xs.shape)
             ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), xs.shape)
-            free = ((xs > lbb) & (xs < ubb)).astype(dtype)
+            tol = jnp.asarray(active_tol, dtype)
+            free = ((xs > lbb + tol) & (xs < ubb - tol)).astype(dtype)
         else:
             free = jnp.ones_like(xs)
 
@@ -178,7 +214,8 @@ def implicit_minimize(fun: Optional[Callable] = None,
         else:
             minv = None
 
-        u, _ = jax.scipy.sparse.linalg.cg(amat, rhs, tol=cg_tol,
+        u, _ = jax.scipy.sparse.linalg.cg(amat, rhs,
+                                          tol=_resolve_cg_tol(cg_tol, dtype),
                                           maxiter=cg_maxiter, M=minv)
         u = free * u
 
@@ -187,7 +224,7 @@ def implicit_minimize(fun: Optional[Callable] = None,
         (dtheta,) = g_vjp(-u)
         _, f_vjp = jax.vjp(lambda th: vfun(xs, th), theta)
         (dtheta_f,) = f_vjp(ct_fx)
-        dtheta = jax.tree.map(jnp.add, dtheta, dtheta_f)
+        dtheta = _add_cotangents(dtheta, dtheta_f)
 
         # x0 only selects the basin; within it the solution is locally
         # constant in x0.
@@ -205,25 +242,28 @@ def _pcg(amat, b, minv, tol, maxiter, axis_name):
 
     bnorm2 = coll.psqnorm(b, axis_name)
     z0 = minv(b) if minv is not None else b
-    rz0 = coll.pdot(b, z0, axis_name)
+    rz0, rr0 = coll.pdot2(b, z0, b, b, axis_name)
 
+    # Carry: (i, x, r, p, rz, rr) — r'r is computed in the body fused
+    # with r'z (one length-2 psum) so the cond reads a scalar instead of
+    # issuing a third collective per iteration; z is recomputed from r in
+    # the body, not carried.
     def cond(c):
-        i, x, r, z, p, rz = c
-        return (i < maxiter) & (coll.psqnorm(r, axis_name)
-                                > tol * tol * bnorm2)
+        i, x, r, p, rz, rr = c
+        return (i < maxiter) & (rr > tol * tol * bnorm2)
 
     def body(c):
-        i, x, r, z, p, rz = c
+        i, x, r, p, rz, rr = c
         ap = amat(p)
         alpha = rz / coll.pdot(p, ap, axis_name)
         x = x + alpha * p
         r = r - alpha * ap
         z = minv(r) if minv is not None else r
-        rz_new = coll.pdot(r, z, axis_name)
+        rz_new, rr_new = coll.pdot2(r, z, r, r, axis_name)
         p = z + (rz_new / rz) * p
-        return i + 1, x, r, z, p, rz_new
+        return i + 1, x, r, p, rz_new, rr_new
 
-    init = (jnp.zeros((), jnp.int32), jnp.zeros_like(b), b, z0, z0, rz0)
+    init = (jnp.zeros((), jnp.int32), jnp.zeros_like(b), b, z0, rz0, rr0)
     return lax.while_loop(cond, body, init)[1]
 
 
@@ -239,8 +279,9 @@ def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
                               axis_name: str = "feat",
                               line_search: Optional[str] = None,
                               precondition: bool = True,
-                              cg_tol: float = 1e-8,
-                              cg_maxiter: int = 200) -> SolveResult:
+                              cg_tol: Optional[float] = None,
+                              cg_maxiter: int = 200,
+                              active_tol: float = 0.0) -> SolveResult:
     """Implicitly-differentiable solve with the parameter vector sharded
     over a device mesh — :func:`implicit_minimize` for the huge-n regime.
 
@@ -322,6 +363,8 @@ def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
         return res, (res.x, res.grad, res.history, theta)
 
     def bwd(residuals, ct: SolveResult):
+        import numpy as onp
+
         xs, gs, hist, theta = residuals
         dtype = xs.dtype
         ct_fx = jnp.asarray(ct.fx, dtype)
@@ -329,10 +372,20 @@ def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
         hist_specs = (shd._result_specs_b(axis_name).history if boxed
                       else shd._result_specs(axis_name).history)
 
+        # Differentiate only the inexact (float) leaves of theta: jax.vjp
+        # over integer/bool leaves is unimplemented for shard_map tracers,
+        # and their cotangents are float0 anyway — assembled outside the
+        # mapped region.
+        th_leaves, th_treedef = jax.tree.flatten(theta)
+        diff_idx = [i for i, l in enumerate(th_leaves)
+                    if jnp.issubdtype(jnp.result_type(l), jnp.inexact)]
+
         def adjoint_local(xs_l, gs_l, hist_l, ctx_l, ctfx, th,
                           lb_l, ub_l):
             if boxed:
-                free = ((xs_l > lb_l) & (xs_l < ub_l)).astype(dtype)
+                tol_a = jnp.asarray(active_tol, dtype)
+                free = ((xs_l > lb_l + tol_a) &
+                        (xs_l < ub_l - tol_a)).astype(dtype)
             else:
                 free = jnp.ones_like(xs_l)
             rhs = free * (ctx_l + ctfx * gs_l)
@@ -353,12 +406,22 @@ def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
             else:
                 minv = None
 
-            u_l = free * _pcg(amat, rhs, minv, cg_tol, cg_maxiter,
+            u_l = free * _pcg(amat, rhs, minv,
+                              _resolve_cg_tol(cg_tol, dtype), cg_maxiter,
                               axis_name)
 
-            _, g_vjp = jax.vjp(lambda t: gfun_l(xs_l, t), th)
+            leaves_l = jax.tree.leaves(th)
+
+            def with_diff(diff_list):
+                new_leaves = list(leaves_l)
+                for i, v in zip(diff_idx, diff_list):
+                    new_leaves[i] = v
+                return jax.tree.unflatten(th_treedef, new_leaves)
+
+            td = [leaves_l[i] for i in diff_idx]
+            _, g_vjp = jax.vjp(lambda t: gfun_l(xs_l, with_diff(t)), td)
             (dth,) = g_vjp(-u_l)
-            _, f_vjp = jax.vjp(lambda t: vfun_l(xs_l, t), th)
+            _, f_vjp = jax.vjp(lambda t: vfun_l(xs_l, with_diff(t)), td)
             # local_fun returns a device-varying partial value (cotangent
             # must be marked varying for shard_map's type system);
             # local_fun_and_grad returns the replicated global fx
@@ -371,20 +434,28 @@ def implicit_minimize_sharded(local_fun: Optional[Callable] = None,
             # varying-aware AD already inserts the cross-device psum when
             # transposing the implicit pvary — the returned cotangent is
             # the globally summed dtheta on every device.
-            dth = jax.tree.map(jnp.add, dth, dth_f)
+            dth = _add_cotangents(dth, dth_f)
             return jnp.zeros_like(xs_l), dth
 
         P_ = P(axis_name)
         bound_specs = (P_, P_) if boxed else (P(), P())
         lb_in = jnp.asarray(lb, dtype) if boxed else jnp.zeros(())
         ub_in = jnp.asarray(ub, dtype) if boxed else jnp.zeros(())
+        diff_specs = [P() for _ in diff_idx]
         shmapped = jax.shard_map(
             adjoint_local, mesh=mesh,
             in_specs=(P_, P_, hist_specs, P_, P(), theta_specs)
             + bound_specs,
-            out_specs=(P_, theta_specs))
-        dx0, dtheta = shmapped(xs, gs, hist, ct.x, ct_fx, theta,
-                               lb_in, ub_in)
+            out_specs=(P_, diff_specs))
+        dx0, dth_diff = shmapped(xs, gs, hist, ct.x, ct_fx, theta,
+                                 lb_in, ub_in)
+        # Reassemble the full theta cotangent: float0 zeros on the
+        # non-differentiable leaves (what custom_vjp expects there).
+        dleaves = [onp.zeros(onp.shape(l), jax.dtypes.float0)
+                   for l in th_leaves]
+        for i, v in zip(diff_idx, dth_diff):
+            dleaves[i] = v
+        dtheta = jax.tree.unflatten(th_treedef, dleaves)
         return dx0, dtheta
 
     solve.defvjp(fwd, bwd)

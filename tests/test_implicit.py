@@ -261,3 +261,57 @@ def test_sharded_implicit_box_active_set():
         jnp.asarray(theta))
     want = ((theta > -1.0) & (theta < 1.0)).astype(np.float64)
     np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
+
+
+def test_integer_leaves_in_theta():
+    """theta pytrees with non-float leaves (int labels, bool masks) must
+    differentiate: jax.vjp returns float0 cotangents for them and the
+    cotangent sum must pass those through (regression: 'Called add with a
+    float0 array')."""
+    y = jnp.asarray(np.array([1, -1, 1, 1], np.int32))
+
+    def f(x, theta):
+        lam = theta["lam"]
+        sign = theta["y"].astype(x.dtype)
+        return jnp.sum((x - sign) ** 2) + lam * jnp.sum(x ** 2)
+
+    theta = {"lam": jnp.asarray(0.5), "y": y}
+    params = LBFGSParams(epsilon=1e-10, max_iterations=100)
+
+    def loss(lam):
+        th = {"lam": lam, "y": y}
+        res = implicit_minimize(f, jnp.zeros(4), th, params)
+        return jnp.sum(res.x ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(0.5))
+    # x* = sign/(1+lam) -> loss = 4/(1+lam)^2, dloss/dlam = -8/(1+lam)^3
+    np.testing.assert_allclose(float(g), -8.0 / 1.5 ** 3, rtol=1e-6)
+
+
+def test_integer_leaves_in_theta_sharded():
+    from lbfgspp_tpu import implicit_minimize_sharded
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), ("feat",))
+    n = 8
+    y = jnp.asarray(np.resize([1, -1], n), np.int32)
+
+    def local_f(x_l, theta):
+        i = jax.lax.axis_index("feat")
+        k = n // 4
+        sign_l = jax.lax.dynamic_slice_in_dim(
+            theta["y"].astype(x_l.dtype), i * k, k)
+        part = jnp.sum((x_l - sign_l) ** 2) + \
+            theta["lam"] * jnp.sum(x_l ** 2)
+        return part
+
+    params = LBFGSParams(epsilon=1e-10, max_iterations=100)
+
+    def loss(lam):
+        th = {"lam": lam, "y": y}
+        res = implicit_minimize_sharded(local_f, jnp.zeros(n), th, params,
+                                        mesh=mesh)
+        return jnp.sum(res.x ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(0.5))
+    np.testing.assert_allclose(float(g), -2.0 * n / 1.5 ** 3, rtol=1e-6)
