@@ -22,7 +22,7 @@ from .batch import minimize_batched, minimize_b_batched, best_result
 from .df64 import minimize_df64
 from .diff import implicit_minimize, implicit_minimize_sharded
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "LBFGSParams", "LBFGSBParams",
