@@ -45,10 +45,55 @@ Array = jax.Array
 
 
 class CauchyResult(NamedTuple):
+    """GCP output contract (``Cauchy::get_cauchy_point`` out-params
+    ``xcp``/``vecc``/``newact_set``/``fv_set``, Cauchy.h:86-88), with the
+    reference's dynamic index sets as boolean masks."""
+
     xcp: Array         # [n] generalized Cauchy point
     vecc: Array        # [2m] c = W'(xcp - x0), slot layout
     newact_mask: Array  # [n] coordinates that became active during the walk
     free_mask: Array   # [n] free-variable set
+
+
+def _break_points(x0: Array, g: Array, lb: Array, ub: Array):
+    """Per-coordinate break points, initial direction and participation
+    masks (Cauchy.h:111-129), including the pinned-variable rule
+    ``lb == ub -> brk = 0`` (Cauchy.h:113-114).  Shared by all three GCP
+    formulations so the parity-sensitive rules live in exactly one place.
+    """
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    pinned = lb == ub
+    brk = jnp.where(
+        pinned, 0.0,
+        jnp.where(g < 0.0, (x0 - ub) / g,
+                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
+    iszero = brk == 0.0
+    vecd = jnp.where(iszero, 0.0, -g)
+    free0 = brk == inf
+    participates = (~free0) & (~iszero)
+    return brk, vecd, free0, participates
+
+
+def _finish(x0: Array, vecd: Array, lb: Array, ub: Array,
+            free0: Array, participates: Array, crossed: Array,
+            crossed_all: Array, t_last: Array, fp: Array, fpp: Array,
+            vecc_l: Array, vecp_l: Array) -> CauchyResult:
+    """Shared epilogue: the ``fpp ~ 0`` rescue (Cauchy.h:258-262) and the
+    final free-variable extension (Cauchy.h:264-282)."""
+    eps = jnp.finfo(x0.dtype).eps
+    deltatmin = jnp.where(fpp < eps, -fp / eps, -fp / fpp)
+    deltatmin = jnp.maximum(deltatmin, 0.0)
+    tfinal = t_last + deltatmin
+
+    vecc = jnp.where(crossed_all, vecc_l, vecc_l + deltatmin * vecp_l)
+    free_mask = free0 | (participates & (~crossed))
+    xcp = jnp.where(crossed, jnp.where(vecd > 0.0, ub, lb), x0)
+    extend = free_mask & (~crossed_all)
+    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
+
+    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
+                        free_mask=free_mask)
 
 
 class _ScanCarry(NamedTuple):
@@ -75,19 +120,9 @@ def cauchy_point(bh: bmat.BHistory, x0: Array, g: Array,
     m = bh.m
     dtype = x0.dtype
     inf = jnp.asarray(jnp.inf, dtype)
-    eps = jnp.finfo(dtype).eps
     theta = bh.theta
 
-    # --- Break points and initial direction (Cauchy.h:111-129) ---
-    pinned = lb == ub
-    brk = jnp.where(
-        pinned, 0.0,
-        jnp.where(g < 0.0, (x0 - ub) / g,
-                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
-    iszero = brk == 0.0
-    vecd = jnp.where(iszero, 0.0, -g)
-    free0 = brk == inf
-    participates = (~free0) & (~iszero)
+    brk, vecd, free0, participates = _break_points(x0, g, lb, ub)
     nord = jnp.sum(participates)
 
     # --- Sort participating coordinates by break point (Cauchy.h:131-133) ---
@@ -117,17 +152,23 @@ def cauchy_point(bh: bmat.BHistory, x0: Array, g: Array,
             (deltatmin < deltat)
         cross = valid_t & (~c.stopped) & (~stop_now)
 
-        crossf = cross.astype(dtype)
-        vecc = c.vecc + crossf * deltat * c.vecp
-        fp = c.fp + crossf * deltat * c.fpp
+        # Masking must SELECT, not multiply: the sorted tail rows carry
+        # brk_t (hence deltat) and z_t = +-inf, and 0 * inf = NaN — a
+        # mask-multiply only survives when XLA's simplifier happens to
+        # rewrite convert(pred)*x into a select.
+        dt_c = jnp.where(cross, deltat, 0.0)
+        vecc = c.vecc + dt_c * c.vecp
+        fp = c.fp + dt_c * c.fpp
 
         # Per-coordinate updates (Cauchy.h:219-234)
         cache = mdense @ w_t               # M w
         gg = g_t * g_t
-        fp = fp + crossf * (gg + theta * g_t * z_t - g_t * (cache @ vecc))
-        fpp = c.fpp - crossf * (theta * gg + 2.0 * g_t * (cache @ c.vecp) +
-                                gg * (cache @ w_t))
-        vecp = c.vecp + crossf * g_t * w_t
+        fp = fp + jnp.where(
+            cross, gg + theta * g_t * z_t - g_t * (cache @ vecc), 0.0)
+        fpp = c.fpp - jnp.where(
+            cross, theta * gg + 2.0 * g_t * (cache @ c.vecp) +
+            gg * (cache @ w_t), 0.0)
+        vecp = c.vecp + jnp.where(cross, g_t, 0.0) * w_t
         il = jnp.where(cross, brk_t, c.il)
         stopped = c.stopped | stop_now
         return _ScanCarry(vecc, vecp, fp, fpp, il, stopped), cross
@@ -144,20 +185,8 @@ def cauchy_point(bh: bmat.BHistory, x0: Array, g: Array,
     nfree0 = jnp.sum(free0)
     crossed_all = (nfree0 == 0) & (ncrossed == nord)
 
-    # fpp ~ 0 rescue (Cauchy.h:258-262)
-    deltatmin = jnp.where(out.fpp < eps, -out.fp / eps, -out.fp / out.fpp)
-    deltatmin = jnp.maximum(deltatmin, 0.0)
-    tfinal = out.il + deltatmin
-
-    # Final extension on free + uncrossed coordinates (Cauchy.h:264-282)
-    vecc = jnp.where(crossed_all, out.vecc, out.vecc + deltatmin * out.vecp)
-    free_mask = free0 | (participates & (~crossed))
-    xcp = jnp.where(crossed, jnp.where(vecd > 0.0, ub, lb), x0)
-    extend = free_mask & (~crossed_all)
-    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
-
-    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
-                        free_mask=free_mask)
+    return _finish(x0, vecd, lb, ub, free0, participates, crossed,
+                   crossed_all, out.il, out.fp, out.fpp, out.vecc, out.vecp)
 
 
 # Target element count for the [chunk, n] one-hot / comparison tiles in
@@ -168,7 +197,8 @@ _PERM_TILE = 16384
 
 def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
                         lb: Array, ub: Array,
-                        axis_name: Optional[str] = None) -> CauchyResult:
+                        axis_name: Optional[str] = None,
+                        perm: str = "onehot") -> CauchyResult:
     """GCP with the interval walk re-expressed as *parallel prefix sums* —
     the batch-mode fast path (same math as :func:`cauchy_point`, no
     sequential scan).
@@ -201,65 +231,75 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
     Summation order differs from the sequential walk by reassociation, so
     this path is opt-in (``gcp="prefix"``); ``tests/test_cauchy_prefix.py``
     checks it against the scan walk on randomized structural cases.
+
+    ``perm`` selects how values reach sorted order: ``"onehot"`` (default)
+    is the chunked comparison-count + one-hot-matmul form — no gathers, the
+    right shape under ``vmap`` where batched gathers lower terribly on TPU,
+    but O(n^2 / c) matmul FLOPs; ``"sort"`` uses ``argsort`` + row gathers
+    (O(n log n)) — the large-n single-instance path, where an unbatched
+    gather lowers fine (exposed as ``gcp="prefix_sorted"``).  Both produce
+    identical sorted rows (stable ties), hence identical results.
     """
     del axis_name
     n = x0.shape[0]
     m = bh.m
     dtype = x0.dtype
     inf = jnp.asarray(jnp.inf, dtype)
-    eps = jnp.finfo(dtype).eps
     theta = bh.theta
     hp = lax.Precision.HIGHEST
 
-    # --- Break points and initial direction (Cauchy.h:111-129) ---
-    pinned = lb == ub
-    brk = jnp.where(
-        pinned, 0.0,
-        jnp.where(g < 0.0, (x0 - ub) / g,
-                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
-    iszero = brk == 0.0
-    vecd = jnp.where(iszero, 0.0, -g)
-    free0 = brk == inf
-    participates = (~free0) & (~iszero)
+    brk, vecd, free0, participates = _break_points(x0, g, lb, ub)
     nord = jnp.sum(participates)
 
-    # --- Stable ranks by chunked comparison counting (no sort/gather) ---
-    c = max(1, min(n, _PERM_TILE // max(n, 1)))
-    n_pad = -(-n // c) * c
-    pad = n_pad - n
     key = jnp.where(participates, brk, inf)
-    key_p = jnp.concatenate([key, jnp.full((pad,), inf, dtype)]) \
-        if pad else key
-    idx = jnp.arange(n_pad)
-
-    def rank_chunk(args):
-        kc, ic = args
-        lt = key_p[None, :] < kc[:, None]
-        tie = (key_p[None, :] == kc[:, None]) & (idx[None, :] < ic[:, None])
-        return jnp.sum(lt | tie, axis=1)
-
-    rank_p = lax.map(rank_chunk, (key_p.reshape(-1, c),
-                                  idx.reshape(-1, c))).reshape(n_pad)
-    rank = rank_p[:n]                       # [n] coord -> sorted position
-    valid = idx < nord
-
-    # Sorted-order quantities via chunked one-hot matmuls: one [n, 2m+3]
-    # value block permuted in [c, n] tiles.
     bound = jnp.where(vecd > 0.0, ub, lb)
     vals = jnp.concatenate([
         jnp.where(participates, brk, 0.0)[:, None],
         jnp.where(participates, g, 0.0)[:, None],
         jnp.where(participates, bound - x0, 0.0)[:, None],
         bmat.w_rows(bh)], axis=1)           # [n, 2m+3]
-    if pad:
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((pad, vals.shape[1]), dtype)], axis=0)
 
-    def perm_chunk(pc):
-        oh = (rank_p[None, :] == pc[:, None]).astype(dtype)
-        return jnp.einsum("cn,nk->ck", oh, vals, precision=hp)
+    if perm == "sort":
+        # --- argsort + gather: O(n log n), single-instance large n ---
+        order = jnp.argsort(key)            # stable: ties keep coord order
+        vals_s = vals[order]
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        n_pad = n
+        idx = jnp.arange(n)
+    else:
+        # --- Stable ranks by chunked comparison counting (no gathers) ---
+        c = max(1, min(n, _PERM_TILE // max(n, 1)))
+        n_pad = -(-n // c) * c
+        pad = n_pad - n
+        key_p = jnp.concatenate([key, jnp.full((pad,), inf, dtype)]) \
+            if pad else key
+        idx = jnp.arange(n_pad)
 
-    vals_s = lax.map(perm_chunk, idx.reshape(-1, c)).reshape(n_pad, -1)
+        def rank_chunk(args):
+            kc, ic = args
+            lt = key_p[None, :] < kc[:, None]
+            tie = (key_p[None, :] == kc[:, None]) & \
+                (idx[None, :] < ic[:, None])
+            return jnp.sum(lt | tie, axis=1)
+
+        rank_p = lax.map(rank_chunk, (key_p.reshape(-1, c),
+                                      idx.reshape(-1, c))).reshape(n_pad)
+        rank = rank_p[:n]                   # [n] coord -> sorted position
+
+        # Sorted-order quantities via chunked one-hot matmuls: one
+        # [n, 2m+3] value block permuted in [c, n] tiles.
+        if pad:
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((pad, vals.shape[1]), dtype)], axis=0)
+
+        def perm_chunk(pc):
+            oh = (rank_p[None, :] == pc[:, None]).astype(dtype)
+            return jnp.einsum("cn,nk->ck", oh, vals, precision=hp)
+
+        vals_s = lax.map(perm_chunk, idx.reshape(-1, c)).reshape(n_pad, -1)
+
+    valid = idx < nord
     t_s = vals_s[:, 0]
     g_s = vals_s[:, 1]
     z_s = vals_s[:, 2]
@@ -324,20 +364,8 @@ def cauchy_point_prefix(bh: bmat.BHistory, x0: Array, g: Array,
     vecp_l = vecp0 + cum_p_last
     vecc_l = il * vecp0 + il * cum_p_last - cum_pt_last
 
-    # fpp ~ 0 rescue (Cauchy.h:258-262)
-    deltatmin = jnp.where(fpp < eps, -fp / eps, -fp / fpp)
-    deltatmin = jnp.maximum(deltatmin, 0.0)
-    tfinal = il + deltatmin
-
-    # Final extension on free + uncrossed coordinates (Cauchy.h:264-282)
-    vecc = jnp.where(crossed_all, vecc_l, vecc_l + deltatmin * vecp_l)
-    free_mask = free0 | (participates & (~crossed))
-    xcp = jnp.where(crossed, bound, x0)
-    extend = free_mask & (~crossed_all)
-    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
-
-    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
-                        free_mask=free_mask)
+    return _finish(x0, vecd, lb, ub, free0, participates, crossed,
+                   crossed_all, il, fp, fpp, vecc_l, vecp_l)
 
 
 class _WalkCarry(NamedTuple):
@@ -348,7 +376,7 @@ class _WalkCarry(NamedTuple):
     vecc: Array      # [2m]
     crossed: Array   # [n_local] bool
     stopped: Array
-    nleft: Array     # int32, remaining participating coordinates (global)
+    rounds: Array    # int32, crossed groups so far (trip-count bound)
 
 
 def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
@@ -371,10 +399,11 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
         vecp += G
 
     Exactly 2 collectives per crossed group (one ``pmin`` for the next
-    break point, one fused ``psum`` of ``[G; sum gg; sum gz; group
-    size]``), O(local) work per round — and the trip count is the number
-    of *distinct crossed break points*, which the walk's early stop keeps
-    small in practice.  Group processing matches the reference semantics:
+    break point, one fused ``psum`` of ``[G; sum gg; sum gz]``), O(local)
+    work per round — and the trip count is the number of *distinct
+    crossed break points*, which the walk's early stop keeps small in
+    practice (exhaustion is detected by ``pmin`` returning +inf, so no
+    floating-point coordinate count is carried — exact at any n).  Group processing matches the reference semantics:
     tie members see ``deltat == 0`` and the stop test fires only on the
     first member (Cauchy.h:193-256).  Works unsharded too
     (``axis_name=None``) — used to cross-check against the sequential scan
@@ -384,19 +413,9 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
     m = bh.m
     dtype = x0.dtype
     inf = jnp.asarray(jnp.inf, dtype)
-    eps = jnp.finfo(dtype).eps
     theta = bh.theta
 
-    # --- Break points and initial direction (Cauchy.h:111-129) ---
-    pinned = lb == ub
-    brk = jnp.where(
-        pinned, 0.0,
-        jnp.where(g < 0.0, (x0 - ub) / g,
-                  jnp.where(g > 0.0, (x0 - lb) / g, inf)))
-    iszero = brk == 0.0
-    vecd = jnp.where(iszero, 0.0, -g)
-    free0 = brk == inf
-    participates = (~free0) & (~iszero)
+    brk, vecd, free0, participates = _break_points(x0, g, lb, ub)
     nord = coll.psum_scalar(jnp.sum(participates.astype(jnp.int32)),
                             axis_name)
 
@@ -410,28 +429,33 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
     z = jnp.where(participates, bound - x0, 0.0)
 
     def cond(c: _WalkCarry):
-        return (~c.stopped) & (c.nleft > 0)
+        # Each non-stopped round crosses >= 1 participating coordinate, so
+        # nord (an exact int32 psum) bounds the trip count; the natural
+        # exits are the stop test and pmin-exhaustion below.
+        return (~c.stopped) & (c.rounds < nord)
 
     def body(c: _WalkCarry) -> _WalkCarry:
         remaining = participates & (~c.crossed)
         tnext = coll.pmin(jnp.min(jnp.where(remaining, brk, inf)),
                           axis_name)
         deltat = tnext - c.t
-        stop_now = (-c.fp / c.fpp) < deltat            # first-member test
+        # First-member stop test (Cauchy.h:193-256); tnext == +inf means
+        # every participating coordinate is crossed (pmin over an empty
+        # remaining set) — stop with the state preserved.  The explicit
+        # exhaustion term also keeps a NaN deltatmin from walking on.
+        stop_now = ((-c.fp / c.fpp) < deltat) | (tnext == inf)
 
         group = remaining & (brk == tnext)
         gv = jnp.where(group, g, 0.0)
-        # Fused group reductions: G = W' g_group, sum gg, sum g*z, count.
+        # Fused group reductions: G = W' g_group, sum gg, sum g*z.
         gmat = jnp.concatenate([bh.base.y, bh.base.s], axis=0)  # [2m, n]
         locals_ = jnp.concatenate([
             jnp.einsum("mn,n->m", gmat, gv, precision=lax.Precision.HIGHEST),
-            jnp.stack([jnp.sum(gv * gv), jnp.sum(gv * z),
-                       jnp.sum(group.astype(dtype))])])
+            jnp.stack([jnp.sum(gv * gv), jnp.sum(gv * z)])])
         red = coll.psum_scalar(locals_, axis_name)
         gvec = red[:2 * m].at[m:].multiply(theta)      # G in W row scaling
         sum_gg = red[2 * m]
         sum_gz = red[2 * m + 1]
-        gcount = red[2 * m + 2].astype(jnp.int32)
 
         mg = mdense @ gvec
         vecc_new = c.vecc + deltat * c.vecp
@@ -449,13 +473,13 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
             vecc=jnp.where(adv, vecc_new, c.vecc),
             crossed=c.crossed | (group & adv),
             stopped=stop_now,
-            nleft=jnp.where(adv, c.nleft - gcount, c.nleft))
+            rounds=c.rounds + 1)
 
     init = _WalkCarry(
         t=jnp.zeros((), dtype), fp=fp0, fpp=fpp0, vecp=vecp0,
         vecc=jnp.zeros((2 * m,), dtype),
         crossed=jnp.zeros((n,), bool),
-        stopped=jnp.zeros((), bool), nleft=nord)
+        stopped=jnp.zeros((), bool), rounds=jnp.zeros((), jnp.int32))
     if axis_name is not None:
         # Only the per-coordinate crossed mask is shard-local; every other
         # carry component is a collective output and stays replicated.
@@ -468,21 +492,21 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
     nfree0 = coll.psum_scalar(jnp.sum(free0.astype(jnp.int32)), axis_name)
     crossed_all = (nfree0 == 0) & (ncrossed == nord)
 
-    # fpp ~ 0 rescue (Cauchy.h:258-262)
-    deltatmin = jnp.where(out.fpp < eps, -out.fp / eps, -out.fp / out.fpp)
-    deltatmin = jnp.maximum(deltatmin, 0.0)
-    tfinal = out.t + deltatmin
+    return _finish(x0, vecd, lb, ub, free0, participates, crossed,
+                   crossed_all, out.t, out.fp, out.fpp, out.vecc, out.vecp)
 
-    # Final extension on free + uncrossed coordinates (Cauchy.h:264-282)
-    vecc = jnp.where(crossed_all, out.vecc, out.vecc + deltatmin * out.vecp)
-    free_mask = free0 | (participates & (~crossed))
-    xcp = jnp.where(crossed, bound, x0)
-    extend = free_mask & (~crossed_all)
-    xcp = jnp.where(extend, x0 + tfinal * vecd, xcp)
 
-    return CauchyResult(xcp=xcp, vecc=vecc, newact_mask=crossed,
-                        free_mask=free_mask)
+def cauchy_point_prefix_sorted(bh: bmat.BHistory, x0: Array, g: Array,
+                               lb: Array, ub: Array,
+                               axis_name: Optional[str] = None
+                               ) -> CauchyResult:
+    """:func:`cauchy_point_prefix` with argsort + gather permutation —
+    the large-n single-instance path (O(n log n) instead of the one-hot
+    form's O(n^2 / c) matmul FLOPs; identical results).  Not for vmapped
+    batches (batched gathers lower terribly on TPU, CLAUDE.md)."""
+    return cauchy_point_prefix(bh, x0, g, lb, ub, axis_name, perm="sort")
 
 
 GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix,
+             "prefix_sorted": cauchy_point_prefix_sorted,
              "walk": cauchy_point_walk}

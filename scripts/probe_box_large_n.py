@@ -28,6 +28,7 @@ def main():
     from lbfgspp_tpu import LBFGSBParams, lbfgsb
 
     logs = [int(a) for a in sys.argv[1:]] or [20]
+    gcps = os.environ.get("BOX_GCPS", "prefix_sorted,walk").split(",")
     for log2n in logs:
         n = 1 << log2n
         dtype = jnp.float32
@@ -40,27 +41,30 @@ def main():
             xo = x.reshape(-1, 2)[:, 1]
             return jnp.sum((1.0 - xe) ** 2 + 100.0 * (xo - xe * xe) ** 2)
 
-        s = lbfgsb.solver(rosen, lb, ub, params, gcp="walk")
+        for gcp in gcps:
+            s = lbfgsb.solver(rosen, lb, ub, params, gcp=gcp)
 
-        @jax.jit
-        def solve(key):
-            x0 = jax.random.uniform(key, (n,), dtype, 2.0, 4.0)
-            st = s.run(s.init(x0))
-            r = s.finalize(st)
-            return r.fx, r.niter, r.status, r.gnorm
+            @jax.jit
+            def solve(key, s=s):
+                x0 = jax.random.uniform(key, (n,), dtype, 2.0, 4.0)
+                st = s.run(s.init(x0))
+                r = s.finalize(st)
+                return r.fx, r.niter, r.status, r.gnorm
 
-        t0 = time.perf_counter()
-        out = solve(jax.random.PRNGKey(0))
-        fx, niter, status, gnorm = [np.asarray(o) for o in out]
-        tc = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = solve(jax.random.PRNGKey(1))
-        fx, niter, status, gnorm = [np.asarray(o) for o in out]
-        dt = time.perf_counter() - t0
-        print(f"n=2^{log2n}: {float(dt):.2f}s total, niter={int(niter)} "
-              f"({1e3 * dt / max(int(niter), 1):.0f} ms/iter), "
-              f"fx={float(fx):.6g}, proj-gnorm={float(gnorm):.3g}, "
-              f"status={int(status)} (compile+first {tc:.0f}s)", flush=True)
+            t0 = time.perf_counter()
+            out = solve(jax.random.PRNGKey(0))
+            fx, niter, status, gnorm = [np.asarray(o) for o in out]
+            tc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = solve(jax.random.PRNGKey(1))
+            fx, niter, status, gnorm = [np.asarray(o) for o in out]
+            dt = time.perf_counter() - t0
+            print(f"n=2^{log2n} gcp={gcp}: {float(dt):.2f}s total, "
+                  f"niter={int(niter)} "
+                  f"({1e3 * dt / max(int(niter), 1):.0f} ms/iter), "
+                  f"fx={float(fx):.6g}, proj-gnorm={float(gnorm):.3g}, "
+                  f"status={int(status)} (compile+first {tc:.0f}s)",
+                  flush=True)
 
 
 if __name__ == "__main__":

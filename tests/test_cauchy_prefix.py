@@ -81,6 +81,13 @@ def test_prefix_matches_scan(seed):
                                np.asarray(r_scan.vecc),
                                rtol=1e-9, atol=1e-11)
 
+    # The argsort+gather permutation (large-n path) must reproduce the
+    # one-hot permutation bit-for-bit: same stable ranks, same rows.
+    r_sort = cauchy.cauchy_point_prefix_sorted(*args)
+    for f in cauchy.CauchyResult._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(r_pref, f)),
+                                      np.asarray(getattr(r_sort, f)), f)
+
 
 def test_fast_path_box_solutions_match_reference_path():
     """End-to-end: the batched fast path (prefix GCP + unrolled BOXCQP)
