@@ -120,7 +120,11 @@ def solver(fun: Optional[Callable] = None,
     ``"scan"`` (default) is the sequential sorted walk matching the
     reference's summation order bit-for-bit; ``"prefix"`` re-expresses the
     walk as parallel prefix sums (:func:`..ops.cauchy.cauchy_point_prefix`)
-    — the batched fast path (same index sets, reassociated sums).
+    — the batched fast path (same index sets, reassociated sums);
+    ``"prefix_sorted"`` is the same closed form with argsort+gather
+    permutation — the large-n single-instance path (O(n log n), e.g. an
+    early GCP from an interior start crosses ~n break points, which costs
+    the scan/walk ~n sequential steps but the prefix form none).
     ``unroll_subspace`` statically unrolls the BOXCQP active-set loop
     (identical values; see :func:`..ops.subspace.subspace_minimize`)."""
     from .lbfgs import Solver
@@ -297,14 +301,17 @@ def minimize(fun: Optional[Callable] = None,
              *,
              fun_and_grad=None,
              line_search="morethuente",
-             axis_name: Optional[str] = None) -> SolveResult:
+             axis_name: Optional[str] = None,
+             gcp: str = "scan") -> SolveResult:
     """Minimize ``fun`` over the box ``[lb, ub]`` from ``x0`` with L-BFGS-B.
 
     Mirrors ``LBFGSBSolver::minimize`` (LBFGSB.h:117-262).  ``line_search``
     defaults to More-Thuente as in the reference (LBFGSB.h:22) — it is the
     only search honoring ``step_max``.  ``lb``/``ub`` entries may be
     ``+/-inf``, and ``lb[i] == ub[i]`` pins a variable (Cauchy.h:113-114).
+    ``gcp`` selects the Cauchy-point implementation (see :func:`solver`;
+    use ``"prefix_sorted"`` for large single-instance n).
     """
     s = solver(fun, lb, ub, params, fun_and_grad=fun_and_grad,
-               line_search=line_search, axis_name=axis_name)
+               line_search=line_search, axis_name=axis_name, gcp=gcp)
     return s.finalize(s.run(s.init(x0)))

@@ -112,3 +112,28 @@ def test_fast_path_box_solutions_match_reference_path():
     # identical trajectories in f64 on this sweep
     np.testing.assert_array_equal(np.asarray(fast.niter),
                                   np.asarray(ref.niter))
+
+
+def test_prefix_sorted_solver_matches_scan_solver():
+    """End-to-end single-instance: gcp="prefix_sorted" (the large-n path)
+    reproduces the bit-exact scan path's trajectory on the reference box
+    example (example-rosenbrock-box.cpp:36-64 shape)."""
+    from lbfgspp_tpu import LBFGSBParams, minimize_b
+
+    n = 25
+    lb = np.full(n, 2.0)
+    ub = np.full(n, 4.0)
+    lb[2], ub[2] = -np.inf, np.inf
+    x0 = jnp.asarray(np.clip(np.linspace(1.5, 4.5, n), lb, ub))
+    params = LBFGSBParams(epsilon=1e-6, max_iterations=100)
+
+    ref = minimize_b(fun_and_grad=rosenbrock_chained_fg, x0=x0,
+                     lb=jnp.asarray(lb), ub=jnp.asarray(ub), params=params,
+                     gcp="scan")
+    fast = minimize_b(fun_and_grad=rosenbrock_chained_fg, x0=x0,
+                      lb=jnp.asarray(lb), ub=jnp.asarray(ub), params=params,
+                      gcp="prefix_sorted")
+    assert int(fast.niter) == int(ref.niter)
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(fast.fx), float(ref.fx), rtol=1e-11)
