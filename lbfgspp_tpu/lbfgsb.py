@@ -96,9 +96,9 @@ def _resolve_gcp(gcp: str, axis_name) -> str:
     collectives, so under feature sharding each shard would silently
     compute a GCP for its local slice as if it were the whole problem.
     Any sharded solve therefore routes to the sortless segment walk
-    (cauchy_point_walk) — 2 collectives per crossed break-point group, no
-    distributed sort."""
-    if axis_name is not None and gcp != "walk":
+    (cauchy_point_walk; or its chunked variant, 2 collectives per K
+    crossed groups, when explicitly requested) — no distributed sort."""
+    if axis_name is not None and gcp not in ("walk", "walk_chunked"):
         return "walk"
     return gcp
 

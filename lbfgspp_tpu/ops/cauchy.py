@@ -496,6 +496,163 @@ def cauchy_point_walk(bh: bmat.BHistory, x0: Array, g: Array,
                    crossed_all, out.t, out.fp, out.fpp, out.vecc, out.vecp)
 
 
+def cauchy_point_walk_chunked(bh: bmat.BHistory, x0: Array, g: Array,
+                              lb: Array, ub: Array,
+                              axis_name: Optional[str] = None,
+                              chunk: int = 64) -> CauchyResult:
+    """Segment-walk GCP processing up to ``chunk`` break-point values per
+    round — the sharded large-crossing path.
+
+    :func:`cauchy_point_walk` pays one while-round (2 collectives) per
+    distinct crossed break point; an early GCP from an interior start
+    crosses ~ALL n coordinates (PERF.md), making cold-start huge-n box
+    iterations loop-bound.  This variant advances K = ``chunk`` values at
+    a time:
+
+    1. local ``top_k`` of the remaining break points, ``all_gather`` of
+       the [K] candidates, replicated merge -> the K globally smallest;
+    2. ONE fused psum of the per-value group reductions [K, 2m+2]
+       (membership resolved by a tiled first-occurrence one-hot, no
+       gathers);
+    3. a replicated K-step mini-scan applying the exact walk recurrence
+       (Cauchy.h:183-256 group form) with the stop test per value.
+
+    2 collectives per K crossed values instead of per value.  Duplicate
+    candidates (ties across shards) collapse to zero-width zero-member
+    steps; +inf padding fires the exhaustion stop, as in the walk.
+    Results match :func:`cauchy_point_walk` (same recurrence, same group
+    reductions) up to reduction reassociation inside the fused product.
+
+    Measured single-chip (PERF.md): ~3x SLOWER than the plain walk — the
+    [n, K] membership work costs more than the loop overhead it removes —
+    so this is strictly the MULTI-CHIP option (collective latency per
+    round is what K divides); per chip prefer ``prefix_sorted``.
+    """
+    n = x0.shape[0]
+    m = bh.m
+    dtype = x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    theta = bh.theta
+    hp = lax.Precision.HIGHEST
+    k_ = min(chunk, n)
+
+    brk, vecd, free0, participates = _break_points(x0, g, lb, ub)
+    nord = coll.psum_scalar(jnp.sum(participates.astype(jnp.int32)),
+                            axis_name)
+
+    vecp0 = bmat.apply_wtv(bh, vecd, axis_name)
+    fp0 = -coll.psqnorm(vecd, axis_name)
+    fpp0 = -theta * fp0 - vecp0 @ bmat.apply_mv(bh, vecp0)
+
+    mdense = bh.mdense
+    bound = jnp.where(vecd > 0.0, ub, lb)
+    z = jnp.where(participates, bound - x0, 0.0)
+
+    # Per-coordinate value rows [n, 2m+2]: g*y | g*s | g^2 | g*z (the s
+    # block is theta-scaled AFTER the psum, matching cauchy_point_walk's
+    # reduction order).  Tiled over n so the [c, K] one-hot stays small.
+    v_rows = jnp.concatenate([
+        (bh.base.y * g).T, (bh.base.s * g).T,
+        (g * g)[:, None], (g * z)[:, None]], axis=1)
+    c = max(1, min(n, _PERM_TILE // max(k_, 1)))
+    pad = -(-n // c) * c - n
+    if pad:
+        brk_p = jnp.concatenate([brk, jnp.full((pad,), inf, dtype)])
+        v_p = jnp.concatenate(
+            [v_rows, jnp.zeros((pad, 2 * m + 2), dtype)], axis=0)
+    else:
+        brk_p, v_p = brk, v_rows
+    brk_t = brk_p.reshape(-1, c)
+    v_t = v_p.reshape(-1, c, 2 * m + 2)
+
+    def cond(c_):
+        return (~c_.stopped) & (c_.rounds < nord)
+
+    def body(c_: _WalkCarry) -> _WalkCarry:
+        remaining = participates & (~c_.crossed)
+        # K smallest remaining break points, globally.
+        loc = jnp.where(remaining, brk, inf)
+        ts_local = -lax.top_k(-loc, k_)[0]          # ascending
+        if axis_name is not None:
+            # Invariant gather: one-row scatter + psum (lax.all_gather's
+            # output is typed device-varying, which would poison the whole
+            # trajectory's vma type; psum output is invariant).  Rows of
+            # zeros sum away; break points are the only nonzero row per
+            # position.
+            d = lax.axis_size(axis_name)
+            buf = jnp.zeros((d, k_), dtype).at[
+                lax.axis_index(axis_name)].set(ts_local)
+            ts_all = coll.psum_scalar(buf, axis_name).reshape(-1)
+            ts = jnp.sort(ts_all)[:k_]
+        else:
+            ts = ts_local
+
+        rem_p = jnp.concatenate(
+            [remaining, jnp.zeros((pad,), bool)]) if pad else remaining
+        rem_t = rem_p.reshape(-1, c)
+
+        def tile(acc, xs):
+            brk_c, rem_c, v_c = xs
+            eq = (brk_c[:, None] == ts[None, :]) & rem_c[:, None]
+            first = eq & (jnp.cumsum(eq, axis=1) == 1)
+            return acc + jnp.einsum("ck,cj->kj", first.astype(dtype), v_c,
+                                    precision=hp), None
+
+        acc0 = coll.pvary(jnp.zeros((k_, 2 * m + 2), dtype), axis_name)
+        locals_, _ = lax.scan(tile, acc0, (brk_t, rem_t, v_t))
+        red = coll.psum_scalar(locals_, axis_name)   # [K, 2m+2]
+        red = red.at[:, m:2 * m].multiply(theta)     # W row scaling
+
+        def kstep(car, inp):
+            tk, row = inp
+            gvec, sum_gg, sum_gz = row[:2 * m], row[2 * m], row[2 * m + 1]
+            deltat = tk - car.t
+            stop_now = ((-car.fp / car.fpp) < deltat) | (tk == inf)
+            mg = mdense @ gvec
+            vecc_new = car.vecc + deltat * car.vecp
+            fp_new = car.fp + deltat * car.fpp + sum_gg + \
+                theta * sum_gz - mg @ vecc_new
+            fpp_new = car.fpp - theta * sum_gg - 2.0 * (mg @ car.vecp) - \
+                mg @ gvec
+            vecp_new = car.vecp + gvec
+            adv = (~car.stopped) & (~stop_now)
+            return _WalkCarry(
+                t=jnp.where(adv, tk, car.t),
+                fp=jnp.where(adv, fp_new, car.fp),
+                fpp=jnp.where(adv, fpp_new, car.fpp),
+                vecp=jnp.where(adv, vecp_new, car.vecp),
+                vecc=jnp.where(adv, vecc_new, car.vecc),
+                crossed=car.crossed,
+                stopped=car.stopped | stop_now,
+                rounds=car.rounds), None
+
+        out, _ = lax.scan(kstep, c_._replace(stopped=jnp.zeros((), bool)),
+                          (ts, red))
+        # Everything at or below the reached value is crossed (group
+        # members cross together; values beyond the stop stay remaining).
+        crossed = c_.crossed | (remaining & (brk <= out.t))
+        return out._replace(crossed=crossed, rounds=c_.rounds + 1,
+                            stopped=out.stopped)
+
+    init = _WalkCarry(
+        t=jnp.zeros((), dtype), fp=fp0, fpp=fpp0, vecp=vecp0,
+        vecc=jnp.zeros((2 * m,), dtype),
+        crossed=jnp.zeros((n,), bool),
+        stopped=jnp.zeros((), bool), rounds=jnp.zeros((), jnp.int32))
+    if axis_name is not None:
+        init = init._replace(crossed=coll.pvary(init.crossed, axis_name))
+    out = lax.while_loop(cond, body, init)
+
+    crossed = out.crossed
+    ncrossed = coll.psum_scalar(jnp.sum(crossed.astype(jnp.int32)),
+                                axis_name)
+    nfree0 = coll.psum_scalar(jnp.sum(free0.astype(jnp.int32)), axis_name)
+    crossed_all = (nfree0 == 0) & (ncrossed == nord)
+
+    return _finish(x0, vecd, lb, ub, free0, participates, crossed,
+                   crossed_all, out.t, out.fp, out.fpp, out.vecc, out.vecp)
+
+
 def cauchy_point_prefix_sorted(bh: bmat.BHistory, x0: Array, g: Array,
                                lb: Array, ub: Array,
                                axis_name: Optional[str] = None
@@ -509,4 +666,5 @@ def cauchy_point_prefix_sorted(bh: bmat.BHistory, x0: Array, g: Array,
 
 GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix,
              "prefix_sorted": cauchy_point_prefix_sorted,
-             "walk": cauchy_point_walk}
+             "walk": cauchy_point_walk,
+             "walk_chunked": cauchy_point_walk_chunked}

@@ -150,7 +150,8 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
                        mesh: Optional[Mesh] = None,
                        axis_name: str = AXIS,
                        local_fun_and_grad: Optional[Callable] = None,
-                       line_search: str = "morethuente") -> SolveResult:
+                       line_search: str = "morethuente",
+                       gcp: str = "walk") -> SolveResult:
     """L-BFGS-B with the parameter vector (and its box bounds) sharded
     over a 1-D mesh.
 
@@ -163,7 +164,10 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
     *box-constrained* problems scale across devices exactly like the
     unconstrained solver.  ``local_fun`` follows the same partial-objective
     contract as :func:`minimize_sharded`; ``lb``/``ub`` are global [n]
-    vectors sharded like ``x0``.
+    vectors sharded like ``x0``.  ``gcp="walk_chunked"`` advances up to 64
+    break-point values per round (2 collectives per chunk instead of per
+    value) — use it when GCPs cross many break points (cold interior
+    starts), the plain walk when solves start near the active set.
     """
     from ..lbfgsb import minimize as _minimize_b
 
@@ -176,7 +180,8 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
     def solve_local(x0_local, lb_local, ub_local):
         return _minimize_b(fun_and_grad=fg, x0=x0_local, lb=lb_local,
                            ub=ub_local, params=params,
-                           line_search=line_search, axis_name=axis_name)
+                           line_search=line_search, axis_name=axis_name,
+                           gcp=gcp)
 
     shmapped = jax.shard_map(solve_local, mesh=mesh,
                              in_specs=(P(axis_name), P(axis_name),

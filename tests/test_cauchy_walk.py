@@ -160,3 +160,81 @@ def test_sharded_solver_routes_singledevice_gcp_to_walk():
     assert _resolve_gcp("walk", "feat") == "walk"
     for gcp in ("scan", "prefix", "walk"):
         assert _resolve_gcp(gcp, None) == gcp
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("chunk", [2, 7, 64])
+def test_walk_chunked_matches_walk(seed, chunk):
+    """The K-chunked walk applies the same group recurrence K values at a
+    time; index sets must be identical and values equal to reassociation
+    tolerance."""
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(3, 24))
+    m = 6
+    bh = _random_bhistory(rng, n, m, int(rng.integers(0, 2 * m)))
+
+    lb = rng.uniform(-2.0, 0.0, n)
+    ub = rng.uniform(0.5, 2.5, n)
+    if seed % 3 == 0:
+        k = rng.integers(0, n)
+        lb[k] = ub[k] = rng.uniform(-1, 1)
+    if seed % 4 == 0:
+        lb[rng.integers(0, n)] = -np.inf
+        ub[rng.integers(0, n)] = np.inf
+    x0 = np.clip(rng.uniform(-2.0, 2.5, n), lb, ub)
+    g = rng.standard_normal(n)
+    if seed % 6 == 0:
+        g[rng.integers(0, n)] = 0.0           # free coordinate
+    if seed % 2 == 0 and n >= 4:
+        g[0] = abs(g[0]) + 0.5
+        g[1] = g[0]
+        lb[0] = x0[0] - 0.7 * g[0]
+        lb[1] = x0[1] - 0.7 * g[1]            # exact break-point tie
+
+    args = (bh, jnp.asarray(x0), jnp.asarray(g), jnp.asarray(lb),
+            jnp.asarray(ub))
+    r_walk = cauchy.cauchy_point_walk(*args)
+    r_ch = cauchy.cauchy_point_walk_chunked(*args, chunk=chunk)
+
+    np.testing.assert_array_equal(np.asarray(r_walk.newact_mask),
+                                  np.asarray(r_ch.newact_mask))
+    np.testing.assert_array_equal(np.asarray(r_walk.free_mask),
+                                  np.asarray(r_ch.free_mask))
+    np.testing.assert_allclose(np.asarray(r_ch.xcp),
+                               np.asarray(r_walk.xcp),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_ch.vecc),
+                               np.asarray(r_walk.vecc),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_lbfgsb_walk_chunked_matches_single_device():
+    """Full sharded solve routed through gcp="walk_chunked" (collective
+    top-k/all_gather/fused-psum path) reproduces the single-device
+    solution on the 8-device mesh."""
+    n = 64
+    d, w, lb, ub, x0 = _box_quadratic_setup(n)
+    dj = jnp.asarray(d)
+    wj = jnp.asarray(w)
+
+    def fun(x):
+        return jnp.sum(wj * (x - dj) ** 2)
+
+    params = LBFGSBParams(epsilon=1e-8, max_iterations=100)
+    ref = minimize_b(fun, jnp.asarray(x0), jnp.asarray(lb), jnp.asarray(ub),
+                     params)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("feat",))
+    k = n // 8
+
+    def local_fun(x_local):
+        i = jax.lax.axis_index("feat")
+        dl = jax.lax.dynamic_slice_in_dim(dj, i * k, k)
+        wl = jax.lax.dynamic_slice_in_dim(wj, i * k, k)
+        return jnp.sum(wl * (x_local - dl) ** 2)
+
+    res = minimize_b_sharded(local_fun, jnp.asarray(x0), lb, ub, params,
+                             mesh=mesh, gcp="walk_chunked")
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-10)
