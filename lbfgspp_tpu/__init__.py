@@ -21,6 +21,7 @@ from .lbfgsb import (minimize as minimize_b, solver as solver_b,
 from .batch import minimize_batched, minimize_b_batched, best_result
 from .df64 import minimize_df64
 from .diff import implicit_minimize, implicit_minimize_sharded
+from .pytree import minimize_pytree, minimize_b_pytree
 
 __version__ = "0.2.0"
 
@@ -36,4 +37,5 @@ __all__ = [
     "minimize_batched", "minimize_b_batched", "best_result",
     "minimize_df64",
     "implicit_minimize", "implicit_minimize_sharded",
+    "minimize_pytree", "minimize_b_pytree",
 ]
