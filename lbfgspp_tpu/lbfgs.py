@@ -112,12 +112,15 @@ def solver(fun: Optional[Callable] = None,
     search = get_line_search(line_search)
     fpast = params.past
 
-    def init(x0: Array) -> LBFGSState:
+    def init(x0: Array, fg0=None) -> LBFGSState:
+        """``fg0``: optional precomputed ``(fx0, grad0)`` at ``x0`` — skips
+        evaluation #0 (LBFGS.h:91) when the caller already holds it (e.g.
+        the optax interop, where the training loop owns value/grad)."""
         x0 = jnp.asarray(x0)
         dtype = x0.dtype
         n = x0.shape[0]
 
-        fx0, grad0 = fg(x0)
+        fx0, grad0 = fg(x0) if fg0 is None else fg0
         gnorm0 = coll.pnorm(grad0, axis_name)
         ring_len = max(fpast, 1)
         fx_ring = jnp.zeros((ring_len,), dtype)
