@@ -22,6 +22,7 @@ from .batch import minimize_batched, minimize_b_batched, best_result
 from .df64 import minimize_df64
 from .diff import implicit_minimize, implicit_minimize_sharded
 from .pytree import minimize_pytree, minimize_b_pytree
+from .stochastic import minimize_stochastic
 
 __version__ = "0.2.0"
 
@@ -38,4 +39,5 @@ __all__ = [
     "minimize_df64",
     "implicit_minimize", "implicit_minimize_sharded",
     "minimize_pytree", "minimize_b_pytree",
+    "minimize_stochastic",
 ]
