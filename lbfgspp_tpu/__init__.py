@@ -23,6 +23,7 @@ from .df64 import minimize_df64
 from .diff import implicit_minimize, implicit_minimize_sharded
 from .pytree import minimize_pytree, minimize_b_pytree
 from .stochastic import minimize_stochastic
+from .owlqn import minimize_owlqn
 
 __version__ = "0.2.0"
 
@@ -40,4 +41,5 @@ __all__ = [
     "implicit_minimize", "implicit_minimize_sharded",
     "minimize_pytree", "minimize_b_pytree",
     "minimize_stochastic",
+    "minimize_owlqn",
 ]
