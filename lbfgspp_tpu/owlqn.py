@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ops import history as hist_ops
+from .parallel import collectives as coll
 from .params import LBFGSParams
 from .types import SolveResult, Status
 
@@ -77,7 +78,8 @@ def minimize_owlqn(fun: Optional[Callable] = None,
                    params: LBFGSParams = LBFGSParams(),
                    *,
                    fun_and_grad=None,
-                   history_dtype=None) -> SolveResult:
+                   history_dtype=None,
+                   axis_name: Optional[str] = None) -> SolveResult:
     """Minimize ``fun(x) + sum(l1 * |x|)`` with OWL-QN.
 
     Args:
@@ -114,23 +116,29 @@ def minimize_owlqn(fun: Optional[Callable] = None,
 
     def full_obj(x):
         loss, g = fg(x)
-        return loss + jnp.sum(lam * jnp.abs(x)), g
+        l1_term = coll.psum_scalar(jnp.sum(lam * jnp.abs(x)), axis_name)
+        return loss + l1_term, g
 
     def init(x0):
         fx0, g0 = full_obj(x0)
         pg0 = pseudo_gradient(x0, g0, lam)
-        gnorm0 = jnp.linalg.norm(pg0)
+        gnorm0 = coll.pnorm(pg0, axis_name)
         early = (gnorm0 <= params.epsilon) | \
-            (gnorm0 <= params.epsilon_rel * jnp.linalg.norm(x0))
+            (gnorm0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
         ring_len = max(fpast, 1)
         fx_ring = jnp.zeros((ring_len,), dtype)
         if fpast > 0:
             fx_ring = fx_ring.at[0].set(fx0)
+        hist0 = hist_ops.init_history(n, params.m, dtype,
+                                      store_dtype=history_dtype)
+        if axis_name is not None:
+            # Shard-local history rows are device-varying under shard_map.
+            hist0 = hist0._replace(s=coll.pvary(hist0.s, axis_name),
+                                   y=coll.pvary(hist0.y, axis_name))
         return OWLQNState(
             k=jnp.ones((), jnp.int32), x=x0, fx=fx0, grad=g0, pgrad=pg0,
             gnorm=gnorm0,
-            hist=hist_ops.init_history(n, params.m, dtype,
-                                       store_dtype=history_dtype),
+            hist=hist0,
             fx_ring=fx_ring, done=early,
             status=jnp.where(early, jnp.int32(Status.CONVERGED_GRAD),
                              jnp.int32(Status.RUNNING)),
@@ -150,17 +158,17 @@ def minimize_owlqn(fun: Optional[Callable] = None,
         # history, then orthant alignment: zero any component that is not
         # a descent component of the pseudo-gradient (Andrew & Gao §3,
         # "constrain the search direction to the orthant of -pseudo-grad").
-        d = hist_ops.apply_hv(c.hist, c.pgrad, -1.0)
+        d = hist_ops.apply_hv(c.hist, c.pgrad, -1.0, axis_name)
         d = jnp.where(penalized & (d * c.pgrad >= 0), 0.0, d)
 
         # Chosen orthant: current sign, else the pseudo-descent sign.
         xi = jnp.where(c.x != 0, jnp.sign(c.x), jnp.sign(-c.pgrad))
 
-        dg = jnp.vdot(c.pgrad, d)
+        dg = coll.pdot(c.pgrad, d, axis_name)
         bad_dir = dg >= 0  # no descent available along d
 
         step0 = jnp.where(c.k == 1,
-                          1.0 / jnp.maximum(jnp.linalg.norm(d),
+                          1.0 / jnp.maximum(coll.pnorm(d, axis_name),
                                             jnp.finfo(dtype).tiny),
                           jnp.ones((), dtype))
 
@@ -175,7 +183,7 @@ def minimize_owlqn(fun: Optional[Callable] = None,
             ft, gt = full_obj(xt)
             # Armijo on the projected step (the paper's acceptance rule):
             # f(xt) <= f(x) + ftol * pg·(xt - x).
-            dec = jnp.vdot(c.pgrad, xt - c.x)
+            dec = coll.pdot(c.pgrad, xt - c.x, axis_name)
             ok = ft <= c.fx + ftol * dec
             it = s.it + 1
             exhausted = it >= params.max_linesearch
@@ -203,9 +211,9 @@ def minimize_owlqn(fun: Optional[Callable] = None,
         nfev = c.nfev + ls.it
 
         pg1 = pseudo_gradient(ls.x, ls.grad, lam)
-        gnorm1 = jnp.linalg.norm(pg1)
+        gnorm1 = coll.pnorm(pg1, axis_name)
         conv_grad = (gnorm1 <= params.epsilon) | \
-            (gnorm1 <= params.epsilon_rel * jnp.linalg.norm(ls.x))
+            (gnorm1 <= params.epsilon_rel * coll.pnorm(ls.x, axis_name))
 
         if fpast > 0:
             fxd = c.fx_ring[c.k % fpast]
@@ -232,7 +240,8 @@ def minimize_owlqn(fun: Optional[Callable] = None,
         # Curvature from LOSS gradients (the L1 part has none).
         s_vec = ls.x - c.x
         y_vec = ls.grad - c.grad
-        hist, _ = hist_ops.update_history(c.hist, s_vec, y_vec, ~ls_fail)
+        hist, _ = hist_ops.update_history(c.hist, s_vec, y_vec, ~ls_fail,
+                                           axis_name)
 
         return OWLQNState(
             k=jnp.where(done, c.k, c.k + 1),

@@ -190,6 +190,44 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
     return shmapped(x0, jnp.asarray(lb), jnp.asarray(ub))
 
 
+def minimize_owlqn_sharded(local_fun: Optional[Callable] = None,
+                           x0: Array = None,
+                           l1=None,
+                           params: LBFGSParams = LBFGSParams(),
+                           *,
+                           mesh: Optional[Mesh] = None,
+                           axis_name: str = AXIS,
+                           local_fun_and_grad: Optional[Callable] = None
+                           ) -> SolveResult:
+    """OWL-QN (L1-regularized L-BFGS) with the parameter vector sharded.
+
+    Same contract as :func:`minimize_sharded` for the smooth part
+    (``local_fun`` returns this shard's additive partial loss); ``l1`` is a
+    scalar or a global ``[n]`` weight vector (sharded like ``x0``).  The
+    orthant machinery (pseudo-gradient, alignment, projection) is purely
+    elementwise, so sharding adds only the scalar reductions: the L1-term
+    psum rides the objective evaluation and the Armijo decrease / norms use
+    the same collective sites as the unconstrained solver.
+    """
+    from ..owlqn import minimize_owlqn as _minimize_owlqn
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), (axis_name,))
+    fg = make_sharded_fg(local_fun, local_fun_and_grad, axis_name)
+
+    l1 = jnp.asarray(l1)
+    l1_spec = P(axis_name) if l1.ndim else P()
+
+    def solve_local(x0_local, l1_local):
+        return _minimize_owlqn(fun_and_grad=fg, x0=x0_local, l1=l1_local,
+                               params=params, axis_name=axis_name)
+
+    shmapped = jax.shard_map(solve_local, mesh=mesh,
+                             in_specs=(P(axis_name), l1_spec),
+                             out_specs=_result_specs(axis_name))
+    return shmapped(x0, l1)
+
+
 def sharding_for(mesh: Mesh, axis_name: str = AXIS) -> NamedSharding:
     """The NamedSharding for global parameter vectors on this mesh — use it
     with ``jax.device_put`` to place huge ``x0`` without a host copy."""
