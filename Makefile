@@ -4,11 +4,15 @@
 
 PY ?= /opt/venv/bin/python
 
-.PHONY: test test-fast bench native wheel examples scaling clean
+.PHONY: test test-par test-fast bench native wheel examples scaling clean
 
 # Full suite: CPU, f64, 8 virtual devices (as CI runs it).
 test:
 	$(PY) -m pytest tests/ -q
+
+# Full suite on 4 xdist workers (~3x faster; same 525 tests).
+test-par:
+	$(PY) -m pytest tests/ -q -n 4
 
 # Quick signal: solver cores + acceptance anchors only.
 test-fast:
