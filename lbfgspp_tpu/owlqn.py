@@ -24,6 +24,12 @@ are unpenalized and exempt from alignment/projection (libLBFGS's
 Everything is fixed-shape masked arithmetic in one ``lax.while_loop`` —
 jittable, vmappable, and the history machinery is shared with
 :mod:`.lbfgs` (ring buffer, curvature gate, Gram-cached two-loop).
+
+TPU note: f32 matmuls default to bf16 passes, whose ~1e-4 gradient noise
+can sit above a tight ``epsilon`` on the pseudo-gradient; wrap matmul-built
+objectives in ``jax.default_matmul_precision("float32")`` for convergence
+at 1e-5 and below (measured: niter p50 150-cap -> 27 on a batched lasso,
+PERF.md "New solver families").
 """
 
 from __future__ import annotations
