@@ -5,7 +5,13 @@ function objective and automatic differentiation.
 Run: python examples/quadratic.py
 """
 
+import jax
 import jax.numpy as jnp
+
+# The reference program instantiates Scalar=double; run the port in
+# f64 so it reproduces the published trajectory standalone (the test
+# twin inherits x64 from tests/conftest.py).
+jax.config.update("jax_enable_x64", True)
 
 from lbfgspp_tpu import LBFGSParams, minimize
 

@@ -16,6 +16,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The reference program instantiates Scalar=double; run the port in
+# f64 so it reproduces the published trajectory standalone (the test
+# twin inherits x64 from tests/conftest.py).
+jax.config.update("jax_enable_x64", True)
+
 from lbfgspp_tpu import LBFGSParams, minimize
 from lbfgspp_tpu.utils.objectives import rosenbrock_fg
 
