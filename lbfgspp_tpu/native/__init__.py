@@ -86,8 +86,12 @@ class NativeResult(NamedTuple):
 
 def _build() -> Optional[str]:
     """Compile the native sources -> libnative.so; error string or None."""
+    # PID-unique scratch name: concurrent builders (pytest-xdist workers
+    # all seeing a stale .so) must not share a tmp file, or one process's
+    # atomic rename deletes the file another is about to rename.
+    tmp = _LIB + f".tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, _SRC_B, "-o", _LIB + ".tmp"]
+           _SRC, _SRC_B, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=120)
@@ -95,7 +99,7 @@ def _build() -> Optional[str]:
         return f"native build failed to run: {e}"
     if proc.returncode != 0:
         return f"native build failed:\n{proc.stderr[-2000:]}"
-    os.replace(_LIB + ".tmp", _LIB)
+    os.replace(tmp, _LIB)
     return None
 
 
@@ -173,9 +177,10 @@ def _load_fast():
             if (not os.path.exists(_LIB_FAST) or
                     os.path.getmtime(_LIB_FAST) < newest):
                 inc = sysconfig.get_paths()["include"]
+                tmp = _LIB_FAST + f".tmp.{os.getpid()}"  # see _build()
                 cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                        "-std=c++17", f"-I{inc}", _SRC_FAST, _SRC, _SRC_B,
-                       "-o", _LIB_FAST + ".tmp"]
+                       "-o", tmp]
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=120)
                 if proc.returncode != 0:
@@ -183,7 +188,7 @@ def _load_fast():
                                    + proc.stderr[-2000:])
                     _fast = None
                 else:
-                    os.replace(_LIB_FAST + ".tmp", _LIB_FAST)
+                    os.replace(tmp, _LIB_FAST)
             if _fast_error is None:
                 spec = importlib.util.spec_from_file_location(
                     "_lbfgspp_fastcall", _LIB_FAST)
