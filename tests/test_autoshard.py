@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lbfgspp_tpu import (LBFGSParams, LBFGSBParams, minimize, minimize_b)
+from lbfgspp_tpu import (LBFGSParams, LBFGSBParams, minimize, minimize_b,
+                         minimize_owlqn)
 from lbfgspp_tpu.utils.objectives import rosenbrock
 
 NDEV = 8
@@ -69,6 +70,34 @@ def test_lbfgsb_autoshard_matches_single_device(feat_sharding):
     assert int(res.niter) == int(ref.niter)
     assert int(res.status) == int(ref.status)
     assert bool(jnp.all(res.x == ref.x))
+
+
+def test_owlqn_autoshard_matches_single_device(feat_sharding):
+    """OWL-QN's masked orthant arithmetic partitions the same way."""
+    n = 64
+    rng = np.random.default_rng(2)
+    d = jnp.asarray(rng.uniform(-3.0, 3.0, n))
+    lam = 0.5
+    params = LBFGSParams(epsilon=1e-8, max_iterations=100)
+
+    def quad(x):
+        return 0.5 * jnp.sum((x - d) ** 2)
+
+    x0 = jnp.zeros(n, dtype=jnp.float64)
+    ref = jax.jit(lambda x: minimize_owlqn(quad, x, lam, params))(x0)
+    fn = jax.jit(lambda x: minimize_owlqn(quad, x, lam, params),
+                 in_shardings=feat_sharding)
+    res = fn(jax.device_put(x0, feat_sharding))
+
+    assert int(res.niter) == int(ref.niter)
+    # GSPMD reassociates this program's psum-free reductions (measured
+    # ulp-level: max diff ~3e-15), so assert trajectory-equivalence, not
+    # bit equality: same sparsity pattern, same solution to f64 tolerance.
+    assert bool(jnp.all((res.x == 0) == (ref.x == 0)))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-13)
+    soft = np.sign(np.asarray(d)) * np.maximum(np.abs(np.asarray(d)) - lam, 0)
+    np.testing.assert_allclose(np.asarray(res.x), soft, atol=1e-6)
 
 
 def test_batched_autoshard_data_parallel(feat_sharding):
