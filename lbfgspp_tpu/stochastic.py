@@ -99,9 +99,10 @@ def minimize_stochastic(fun: Callable,
     Returns:
       A :class:`~.types.SolveResult` whose ``fx``/``grad``/``gnorm`` are
       those of the LAST minibatch (report a full-data loss by evaluating
-      ``fun(res.x, data)`` if wanted); ``status`` is ``MAX_ITERATIONS``
-      unless a line search failed earlier (failed steps keep ``x`` and the
-      history unchanged, isolating bad batches, and the schedule moves on).
+      ``fun(res.x, data)`` if wanted); ``status`` is always
+      ``MAX_ITERATIONS`` (the run is a fixed schedule).  A step whose
+      line search fails keeps ``x`` and the history unchanged — the bad
+      batch is isolated and the schedule moves on.
     """
     if params.max_iterations <= 0:
         raise ValueError("stochastic mode needs params.max_iterations > 0 "

@@ -22,10 +22,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CONFIGS = [
     # (batch, m, iters, polish)
-    (8192, 16, 150, 12),   # shipping config at 2x batch
-    (8192, 16, 140, 18),   # thinner main phase, more polish
+    # thin main phase (140 measured 24.6k at polish 12 but only 0.9922
+    # @1e-4); can extra df64 polish recover the quality margin cheaply?
     (4096, 16, 140, 18),
-    (16384, 16, 150, 12),  # 4x batch
+    (4096, 16, 140, 24),
+    (4096, 16, 135, 24),
 ]
 
 
