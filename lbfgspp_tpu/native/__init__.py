@@ -17,6 +17,7 @@ own deployment profile.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import functools
 import os
@@ -93,14 +94,20 @@ def _build() -> Optional[str]:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            _SRC, _SRC_B, "-o", tmp]
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=120)
-    except (OSError, subprocess.TimeoutExpired) as e:  # no g++ / hang
-        return f"native build failed to run: {e}"
-    if proc.returncode != 0:
-        return f"native build failed:\n{proc.stderr[-2000:]}"
-    os.replace(tmp, _LIB)
-    return None
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=120)
+        except (OSError, subprocess.TimeoutExpired) as e:  # no g++ / hang
+            return f"native build failed to run: {e}"
+        if proc.returncode != 0:
+            return f"native build failed:\n{proc.stderr[-2000:]}"
+        os.replace(tmp, _LIB)
+        return None
+    finally:
+        # Failure paths must not strand the PID-unique scratch file —
+        # they accumulate across pytest-xdist workers otherwise.
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(tmp)
 
 
 class _CParamsB(ctypes.Structure):
@@ -181,14 +188,19 @@ def _load_fast():
                 cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                        "-std=c++17", f"-I{inc}", _SRC_FAST, _SRC, _SRC_B,
                        "-o", tmp]
-                proc = subprocess.run(cmd, capture_output=True, text=True,
-                                      timeout=120)
-                if proc.returncode != 0:
-                    _fast_error = ("fastcall build failed:\n"
-                                   + proc.stderr[-2000:])
-                    _fast = None
-                else:
-                    os.replace(tmp, _LIB_FAST)
+                try:
+                    proc = subprocess.run(cmd, capture_output=True,
+                                          text=True, timeout=120)
+                    if proc.returncode != 0:
+                        _fast_error = ("fastcall build failed:\n"
+                                       + proc.stderr[-2000:])
+                        _fast = None
+                    else:
+                        os.replace(tmp, _LIB_FAST)
+                finally:
+                    # see _build(): never strand the scratch file
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(tmp)
             if _fast_error is None:
                 spec = importlib.util.spec_from_file_location(
                     "_lbfgspp_fastcall", _LIB_FAST)
