@@ -95,7 +95,8 @@ def solver(fun: Optional[Callable] = None,
            fun_and_grad=None,
            line_search="nocedalwright",
            axis_name: Optional[str] = None,
-           history_dtype=None) -> Solver:
+           history_dtype=None,
+           direction: str = "sweeps") -> Solver:
     """Build the L-BFGS ``init/step/finalize`` triple.
 
     ``minimize`` is ``finalize(run(init(x0)))``; checkpointed runs call
@@ -107,6 +108,13 @@ def solver(fun: Optional[Callable] = None,
     dtype — halves the HBM traffic of the per-iteration history streams at
     a small accuracy cost (a quantized-curvature approximation; the exact
     pairs' inner products are still used for the gate, theta and Grams).
+
+    ``direction`` selects the two-loop triangular-solve schedule
+    (:func:`..ops.history.apply_hv`): ``"sweeps"`` (default) is the
+    bit-parity path; ``"rinv"`` maintains the compact-form ``R^{-1}``
+    incrementally and applies it with three [m, m] matvecs — the same
+    direction up to reassociation rounding, measurably faster for batched
+    throughput mode (PERF.md).
     """
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
@@ -135,7 +143,8 @@ def solver(fun: Optional[Callable] = None,
         step0 = 1.0 / coll.pnorm(drt0, axis_name)
 
         hist0 = hist_ops.init_history(n, params.m, dtype,
-                                      store_dtype=history_dtype)
+                                      store_dtype=history_dtype,
+                                      with_rinv=direction == "rinv")
         if axis_name is not None:
             # Mark the shard-local history matrices as device-varying for
             # shard_map's type system (their zeros initializer is invariant
@@ -200,7 +209,8 @@ def solver(fun: Optional[Callable] = None,
         hist, _ = hist_ops.update_history(c.hist, s, y, ~done, axis_name)
 
         # New direction d = -H g (LBFGS.h:165) and step reset (LBFGS.h:168)
-        drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name)
+        drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name,
+                                tri=direction)
 
         return LBFGSState(
             k=jnp.where(done, c.k, c.k + 1),
@@ -236,7 +246,8 @@ def minimize(fun: Optional[Callable] = None,
              fun_and_grad=None,
              line_search="nocedalwright",
              axis_name: Optional[str] = None,
-             history_dtype=None) -> SolveResult:
+             history_dtype=None,
+             direction: str = "sweeps") -> SolveResult:
     """Minimize ``fun`` from ``x0`` with L-BFGS.
 
     Mirrors ``LBFGSSolver::minimize`` (LBFGS.h:79-173).  ``line_search``
@@ -247,7 +258,7 @@ def minimize(fun: Optional[Callable] = None,
     """
     s = solver(fun, params, fun_and_grad=fun_and_grad,
                line_search=line_search, axis_name=axis_name,
-               history_dtype=history_dtype)
+               history_dtype=history_dtype, direction=direction)
     return s.finalize(s.run(s.init(x0)))
 
 

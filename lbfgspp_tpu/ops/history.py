@@ -65,6 +65,13 @@ class LBFGSHistory(NamedTuple):
                    # (BFGSMat.h:70: first write lands at slot ptr % m == 0)
     sy: Array      # [m, m] cached Gram s_i . y_j (slot order)
     yy: Array      # [m, m] cached Gram y_i . y_j
+    rinv: Optional[Array] = None
+                   # [m, m] R^{-1} in slot order (R = age-ordered
+                   # triu(S'Y), the BNS compact-form factor), maintained
+                   # incrementally for the ``tri="rinv"`` direction mode;
+                   # None (the default) = not maintained (a None pytree
+                   # leaf is an empty subtree, so checkpoints and carries
+                   # of the default path are unchanged)
 
     @property
     def m(self) -> int:
@@ -72,7 +79,7 @@ class LBFGSHistory(NamedTuple):
 
 
 def init_history(n: int, m: int, dtype=jnp.float32,
-                 store_dtype=None) -> LBFGSHistory:
+                 store_dtype=None, with_rinv: bool = False) -> LBFGSHistory:
     """Fresh history (BFGSMat::reset, BFGSMat.h:61-78).
 
     ``store_dtype`` (e.g. ``jnp.bfloat16``) stores the s/y rows at reduced
@@ -81,6 +88,9 @@ def init_history(n: int, m: int, dtype=jnp.float32,
     The correction-pair products for the gate/Grams are computed from the
     full-precision incoming vectors, so only the materialized direction
     combine sees the rounding.
+
+    ``with_rinv`` additionally maintains the incremental ``R^{-1}`` factor
+    used by the ``tri="rinv"`` direction mode (see :func:`apply_hv`).
     """
     sdt = dtype if store_dtype is None else store_dtype
     return LBFGSHistory(
@@ -92,6 +102,7 @@ def init_history(n: int, m: int, dtype=jnp.float32,
         ptr=jnp.asarray(m, jnp.int32),
         sy=jnp.zeros((m, m), dtype),
         yy=jnp.zeros((m, m), dtype),
+        rinv=jnp.zeros((m, m), dtype) if with_rinv else None,
     )
 
 
@@ -181,8 +192,31 @@ def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
     new_yy = jnp.where(write[:, None], yy_row[None, :], hist.yy)
     new_yy = jnp.where(write[None, :], yy_row[:, None], new_yy)
 
+    new_rinv = hist.rinv
+    if hist.rinv is not None:
+        # Incremental R^{-1} (R = age-ordered triu(S'Y)).  Replacing the
+        # oldest correction (slot loc) with the newest is, in age order,
+        # "drop first row/col, append last row/col":
+        #   drop:   Rinv22 = Rinv with row/col loc zeroed (the inverse of
+        #           a triangular matrix restricted to its trailing block
+        #           IS the trailing block of the inverse);
+        #   append: Rinv_new = [[Rinv22, -Rinv22 c / d], [0, 1/d]] with
+        #           c_i = s_i . y_new (old slots) and d = s_new . y_new —
+        #           one [m, m] @ [m] matvec per accepted correction.
+        # Each column is thus computed once on entry and only ever zeroed
+        # afterwards: no sliding-window rounding accumulation.
+        dtype = hist.rinv.dtype
+        at_loc = is_loc
+        rz = jnp.where(at_loc[:, None] | at_loc[None, :], 0.0, hist.rinv)
+        c_vec = jnp.where(at_loc, 0.0, sx[:, 0].astype(dtype))  # s_i.y_new
+        d_safe = jnp.where(ys != 0, ys, 1.0).astype(dtype)
+        col = -(rz @ c_vec) / d_safe
+        col = jnp.where(at_loc, 1.0 / d_safe, col)
+        cand = jnp.where(at_loc[None, :], col[:, None], rz)
+        new_rinv = jnp.where(accept, cand, hist.rinv)
+
     return LBFGSHistory(new_s, new_y, new_ys, new_theta, new_ncorr, new_ptr,
-                        new_sy, new_yy)
+                        new_sy, new_yy, new_rinv)
 
 
 def add_correction(hist: LBFGSHistory, s: Array, y: Array,
@@ -225,7 +259,8 @@ def _age_slots(hist: LBFGSHistory):
 
 
 def apply_hv(hist: LBFGSHistory, v: Array, a,
-             axis_name: Optional[str] = None) -> Array:
+             axis_name: Optional[str] = None,
+             tri: str = "sweeps") -> Array:
     """Two-loop recursion computing ``a * H * v`` (BFGSMat.h:276-302;
     Nocedal & Wright Alg. 7.4), in compact (Gram-cached) form.
 
@@ -240,11 +275,23 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
     so one fused ``[2m, n] @ [n]`` matvec (ONE psum when sharded) plus an
     O(m^2) scalar recursion replaces the 2m-collective sequential chain —
     identical math, reassociated summation.
+
+    ``tri`` selects the triangular-solve schedule for the alpha/beta
+    recursions: ``"sweeps"`` (default) runs m masked Jacobi sweeps — the
+    Horner form of the nilpotent Neumann series, 2m sequential [m] matvecs
+    — and is the bit-parity path the oracle tests pin; ``"doubling"``
+    evaluates the same series by repeated squaring in ceil(log2(m)) steps
+    (2*ceil(log2(m)) matvecs + as many [m, m] matmuls) — the same values
+    up to reassociation rounding (measured SLOWER batched: [B, m, m]
+    matmuls lower poorly); ``"rinv"`` applies the incrementally-maintained
+    ``hist.rinv`` factor — three [m, m] matvecs, no sequential solve, the
+    batched throughput mode (``lbfgs.minimize(..., direction="rinv")``).
     """
     # Batched on-chip solves route through the Pallas-fused kernel (one HBM
     # pass over s/y); single/sharded/f64/mixed-storage solves use the XLA
     # path below.
-    if isinstance(a, (int, float)) and hist.s.dtype == v.dtype:
+    if tri == "sweeps" and isinstance(a, (int, float)) \
+            and hist.s.dtype == v.dtype:
         from . import fused
         if fused.fused_available(v.dtype, axis_name):
             return fused.apply_hv_fused(hist, v, float(a))
@@ -275,23 +322,64 @@ def apply_hv(hist: LBFGSHistory, v: Array, a,
     ys_safe = jnp.where(valid, hist.ys, 1.0)
     vmaskf = valid.astype(dtype)
 
-    # Loop 1 (newest -> oldest): alpha_i = (a sv_i - sum_{j newer} sy[i, j]
-    # alpha_j) / ys_i, via m sweeps of the masked recursion.
     msy = jnp.where(newer, hist.sy, 0.0)                    # [m, m]
-    rhs_a = a * sv
-    alpha = jnp.zeros((m,), dtype)
-    for _ in range(m):
-        alpha = vmaskf * (rhs_a - msy @ alpha) / ys_safe
-
-    # Loop 2 (oldest -> newest): beta_i = (base_i + sum_{j older} sy[j, i]
-    # (alpha_j - beta_j)) / ys_i with base = (a yv - yy alpha) / theta.
-    theta = hist.theta
-    base = (a * yv - hist.yy @ alpha) / theta
     older = (dist[None, :] > dist[:, None]) & valid[:, None] & valid[None, :]
     msyT = jnp.where(older, hist.sy.T, 0.0)
-    beta = jnp.zeros((m,), dtype)
-    for _ in range(m):
-        beta = vmaskf * (base + msyT @ (alpha - beta)) / ys_safe
+    theta = hist.theta
+
+    if tri == "rinv":
+        # The two recursions ARE triangular solves with the BNS factor:
+        # alpha = R^{-1} (a Sv) and (D + O) beta = base + O alpha with
+        # D + O = R^T (slot space), so
+        #   beta = R^{-T}(base + (R^T - D) alpha)
+        #        = alpha - R^{-T}(ys * alpha - base).
+        # With the incrementally-maintained hist.rinv this is THREE [m, m]
+        # matvecs and no sequential solve at all.
+        if hist.rinv is None:
+            raise ValueError("tri='rinv' needs a history built with "
+                             "init_history(with_rinv=True)")
+        alpha = hist.rinv @ (a * sv)
+        base = (a * yv - hist.yy @ alpha) / theta
+        beta = alpha - hist.rinv.T @ (hist.ys * alpha - base)
+        beta = vmaskf * beta
+    elif tri == "doubling":
+        # Both recursions are unit-triangular solves (D + N) x = rhs with
+        # N strictly triangular in age order, i.e. A = D^{-1}N nilpotent
+        # (A^m = 0).  x = sum_k (-A)^k D^{-1} rhs, evaluated by repeated
+        # squaring: x <- x + B x, B <- B^2 with B = -A covers 2^K terms in
+        # K steps.  Same values as the sweeps up to reassociation rounding
+        # (exactness tested in tests/test_history.py).
+        n_steps = max(1, (m - 1).bit_length())
+
+        def tri_solve(nmat, rhs):
+            b_mat = -(nmat / ys_safe[:, None])
+            x = vmaskf * rhs / ys_safe
+            for _ in range(n_steps):
+                x = x + b_mat @ x
+                b_mat = b_mat @ b_mat
+            return vmaskf * x
+
+        alpha = tri_solve(msy, a * sv)
+        base = (a * yv - hist.yy @ alpha) / theta
+        # (D + O) beta = base + O alpha.
+        beta = tri_solve(msyT, base + msyT @ alpha)
+    else:
+        # The bit-parity default (the oracle tests pin these exact values;
+        # keep the association of every expression unchanged).
+        # Loop 1 (newest -> oldest): alpha_i = (a sv_i - sum_{j newer}
+        # sy[i, j] alpha_j) / ys_i, via m sweeps of the masked recursion.
+        rhs_a = a * sv
+        alpha = jnp.zeros((m,), dtype)
+        for _ in range(m):
+            alpha = vmaskf * (rhs_a - msy @ alpha) / ys_safe
+
+        # Loop 2 (oldest -> newest): beta_i = (base_i + sum_{j older}
+        # sy[j, i] (alpha_j - beta_j)) / ys_i with
+        # base = (a yv - yy alpha) / theta.
+        base = (a * yv - hist.yy @ alpha) / theta
+        beta = jnp.zeros((m,), dtype)
+        for _ in range(m):
+            beta = vmaskf * (base + msyT @ (alpha - beta)) / ys_safe
 
     # Final combination: two [m, n] matvecs, local (coefficients
     # replicated); s/y are read straight from the history rows (no concat).

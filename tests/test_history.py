@@ -109,3 +109,81 @@ class TestDenseAccessors:
         B = np.asarray(H.bmat(hist))
         Hm = np.asarray(H.hmat(hist))
         np.testing.assert_allclose(B @ Hm, np.eye(n), atol=1e-10)
+
+
+class TestTriSolveModes:
+    """The alternative triangular-solve schedules in apply_hv: the
+    ``doubling`` repeated-squaring evaluation and the incremental
+    ``rinv`` (BNS R^{-1}) factor.  Both compute the same direction as the
+    bit-parity ``sweeps`` default up to reassociation rounding."""
+
+    def _filled_history(self, key, n, m, count, with_rinv=False):
+        hist = H.init_history(n, m, jnp.float64, with_rinv=with_rinv)
+        for s, y in random_pairs(key, n, count):
+            hist = H.add_correction(hist, s, y, jnp.asarray(True))
+        return hist
+
+    def test_doubling_matches_sweeps(self):
+        for m, count in [(4, 2), (4, 4), (4, 9), (6, 6), (16, 40), (5, 7)]:
+            hist = self._filled_history(jax.random.PRNGKey(m * 100 + count),
+                                        20, m, count)
+            v = jax.random.normal(jax.random.PRNGKey(count), (20,),
+                                  jnp.float64)
+            d0 = H.apply_hv(hist, v, -1.0)
+            d1 = H.apply_hv(hist, v, -1.0, tri="doubling")
+            np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_rinv_matches_sweeps(self):
+        for m, count in [(4, 2), (4, 4), (4, 9), (6, 6), (16, 40), (5, 7)]:
+            hist = self._filled_history(jax.random.PRNGKey(m * 100 + count),
+                                        20, m, count, with_rinv=True)
+            v = jax.random.normal(jax.random.PRNGKey(count), (20,),
+                                  jnp.float64)
+            d0 = H.apply_hv(hist._replace(rinv=None), v, -1.0)
+            d1 = H.apply_hv(hist, v, -1.0, tri="rinv")
+            np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_rinv_is_inverse_of_age_ordered_triu_gram(self):
+        """hist.rinv must equal inv(R) with R = triu(S'Y) in age order,
+        mapped back to slot order — including after ring wraparound."""
+        m, n = 5, 14
+        hist = self._filled_history(jax.random.PRNGKey(3), n, m, 13,
+                                    with_rinv=True)
+        idx = np.asarray(H._age_order_indices(hist))
+        s_age = np.asarray(hist.s)[idx]
+        y_age = np.asarray(hist.y)[idx]
+        r = np.triu(s_age @ y_age.T)
+        rinv_age = np.linalg.inv(r)
+        rinv_slot = np.asarray(hist.rinv)
+        np.testing.assert_allclose(rinv_slot[np.ix_(idx, idx)], rinv_age,
+                                   rtol=1e-11, atol=1e-12)
+
+    def test_rinv_rejected_pair_untouched(self):
+        m, n = 4, 10
+        hist = self._filled_history(jax.random.PRNGKey(4), n, m, 3,
+                                    with_rinv=True)
+        (s, y), = random_pairs(jax.random.PRNGKey(5), n, 1)
+        hist2 = H.add_correction(hist, s, y, jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(hist2.rinv),
+                                      np.asarray(hist.rinv))
+
+    def test_rinv_requires_maintained_history(self):
+        hist = H.init_history(8, 4, jnp.float64)
+        v = jnp.ones((8,), jnp.float64)
+        try:
+            H.apply_hv(hist, v, -1.0, tri="rinv")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError without with_rinv")
+
+    def test_default_history_has_no_rinv_leaf(self):
+        """The default pytree structure is unchanged (None = empty
+        subtree): checkpoints and carries of the sweeps path stay
+        byte-compatible."""
+        hist = H.init_history(8, 4, jnp.float64)
+        assert hist.rinv is None
+        leaves = jax.tree.leaves(hist)
+        assert len(leaves) == 8  # s y ys theta ncorr ptr sy yy
