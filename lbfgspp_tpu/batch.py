@@ -80,7 +80,8 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                  *,
                  fun_and_grad=None,
                  line_search: str = "morethuente",
-                 drive: str = "while") -> SolveResult:
+                 drive: str = "while",
+                 direction: str = "sweeps") -> SolveResult:
     """Refine a stalled f32 solution with up to ``iters`` L-BFGS iterations
     in *double-float pair space* (:mod:`.utils.doublefloat`).
 
@@ -108,7 +109,7 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
     pparams = dataclasses.replace(params, max_iterations=iters)
     s = lbfgs.solver(fun_and_grad=fg2, params=pparams,
-                     line_search=line_search)
+                     line_search=line_search, direction=direction)
     n = x0.shape[0]
     x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])
     st = s.init(x2)
@@ -149,7 +150,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      polish_iters: int = 0,
                      refine_frac: float = 0.0,
                      refine_iters: int = 0,
-                     drive: str = "while") -> SolveResult:
+                     drive: str = "while",
+                     direction: str = "sweeps") -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -206,7 +208,8 @@ def minimize_batched(fun: Optional[Callable] = None,
     def polish_batch(res):
         pol = jax.vmap(lambda xf: polish_solve(
             fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
-            line_search=line_search, drive=drive))(res.x)
+            line_search=line_search, drive=drive,
+            direction=direction))(res.x)
         return _merge_polished(res, pol)
 
     if use_refine:
@@ -219,7 +222,7 @@ def minimize_batched(fun: Optional[Callable] = None,
         p2 = dataclasses.replace(
             params, max_iterations=params.max_iterations + refine_iters)
         s2 = lbfgs.solver(fun, p2, fun_and_grad=fun_and_grad,
-                          line_search=line_search)
+                          line_search=line_search, direction=direction)
 
         def f(xs):
             res = jax.vmap(s2.finalize)(_compact_refine(
@@ -227,7 +230,7 @@ def minimize_batched(fun: Optional[Callable] = None,
             return polish_batch(res) if polish_iters else res
     else:
         s1 = lbfgs.solver(fun, params, fun_and_grad=fun_and_grad,
-                          line_search=line_search)
+                          line_search=line_search, direction=direction)
 
         def solve_one(x0):
             st = s1.init(x0)

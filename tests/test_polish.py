@@ -53,6 +53,39 @@ def test_batched_with_polish_meets_reference_criterion():
     assert int(np.min(np.asarray(res.niter))) >= 1
 
 
+def test_batched_rinv_direction_meets_reference_criterion():
+    """``direction="rinv"`` (compact-form R^{-1} two-loop, throughput mode)
+    must preserve solution quality through both phases: the direction agrees
+    with the sweeps schedule up to rounding, so every instance must still
+    meet the reference's 1e-4 multistart criterion
+    (example-rosenbrock-bracketing.cpp:50-54)."""
+    rng = np.random.default_rng(1)
+    B, n = 32, 100
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=300)
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=12,
+                           direction="rinv")
+    assert res.x.dtype == jnp.float32
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
+
+
+def test_batched_rinv_direction_with_refine():
+    """rinv direction composes with the straggler-compaction refine path
+    (the refine solver must inherit the direction schedule).  This config
+    is deliberately iteration-starved (the sweeps path scores the same
+    0.97 @1e-4 here), so the assertion checks composition, not the
+    quality frontier (that is the previous test)."""
+    rng = np.random.default_rng(2)
+    B, n = 32, 50
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=150)
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=10,
+                           refine_frac=0.25, refine_iters=50,
+                           direction="rinv")
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) >= 0.9
+    assert np.all(_maxerr(res.x) <= 1e-3)
+
+
 def test_polish_preserves_converged_instances():
     """Instances already at the optimum must not be perturbed."""
     n = 10
