@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BATCH = 4096
 N = 100
-REPS = 3
+REPS = int(os.environ.get("PROBE_REPS", 3))
 
 # (m, main_iters, polish_iters)
 CONFIGS = [
@@ -31,6 +31,9 @@ CONFIGS = [
     (24, 130, 12),   # larger history: iterations drop, rinv keeps O(m^2) cheap
     (32, 115, 12),
 ]
+if os.environ.get("PROBE_CONFIGS"):
+    CONFIGS = [tuple(map(int, c.split(",")))
+               for c in os.environ["PROBE_CONFIGS"].split(";")]
 
 
 def main():
