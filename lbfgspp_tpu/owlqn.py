@@ -78,6 +78,20 @@ class OWLQNState(NamedTuple):
     nfev: Array
 
 
+def _retrace_at_precision(f: Optional[Callable], prec: str):
+    """Wrap a callable so everything it traces uses matmul precision
+    ``prec`` (innermost context wins, so a user's own precision choice
+    inside ``f`` is respected)."""
+    if f is None:
+        return None
+
+    def wrapped(*args):
+        with jax.default_matmul_precision(prec):
+            return f(*args)
+
+    return wrapped
+
+
 def minimize_owlqn(fun: Optional[Callable] = None,
                    x0: Array = None,
                    l1: Any = None,
@@ -85,7 +99,8 @@ def minimize_owlqn(fun: Optional[Callable] = None,
                    *,
                    fun_and_grad=None,
                    history_dtype=None,
-                   axis_name: Optional[str] = None) -> SolveResult:
+                   axis_name: Optional[str] = None,
+                   fast_phase_epsilon: Optional[float] = None) -> SolveResult:
     """Minimize ``fun(x) + sum(l1 * |x|)`` with OWL-QN.
 
     Args:
@@ -100,11 +115,38 @@ def minimize_owlqn(fun: Optional[Callable] = None,
         projected backtracking Armijo search of the OWL-QN paper (the
         Wolfe menu does not apply: the projected objective is only
         directionally differentiable).
+      fast_phase_epsilon: enables the TPU *two-phase matmul-precision
+        schedule* for matmul-built objectives (lasso, sparse logreg).
+        TPU f32 matmuls default to bf16 passes whose ~1e-4 gradient noise
+        sits above a tight ``epsilon``; the standard fix — tracing the
+        whole solve under ``jax.default_matmul_precision("float32")`` —
+        costs ~1.8x per evaluation (PERF.md "New solver families").
+        With this set, phase 1 runs at the ambient (fast) precision down
+        to ``max(epsilon, fast_phase_epsilon)`` (the noise floor), then
+        phase 2 restarts from that iterate with the objective re-traced
+        under float32 precision and finishes to ``params.epsilon`` — the
+        expensive passes are paid only for the endgame iterations.
+        ``niter``/``nfev`` accumulate across both phases; each phase is
+        individually bounded by ``params.max_iterations``.
 
     Returns a :class:`~.types.SolveResult`: ``fx`` is the FULL objective,
     ``grad`` the loss gradient, ``gnorm`` the pseudo-gradient norm.
     Coordinates at zero are exact zeros.
     """
+    if fast_phase_epsilon is not None:
+        import dataclasses
+        coarse = dataclasses.replace(
+            params, epsilon=max(params.epsilon, float(fast_phase_epsilon)))
+        r1 = minimize_owlqn(fun, x0, l1, coarse, fun_and_grad=fun_and_grad,
+                            history_dtype=history_dtype, axis_name=axis_name)
+        r2 = minimize_owlqn(_retrace_at_precision(fun, "float32"),
+                            r1.x, l1, params,
+                            fun_and_grad=_retrace_at_precision(fun_and_grad,
+                                                               "float32"),
+                            history_dtype=history_dtype, axis_name=axis_name)
+        return r2._replace(niter=r1.niter + r2.niter,
+                           nfev=r1.nfev + r2.nfev)
+
     if fun_and_grad is None:
         if fun is None:
             raise ValueError("either 'fun' or 'fun_and_grad' must be given")

@@ -58,14 +58,17 @@ Array = jax.Array
 AXIS = "feat"
 
 
-def _result_specs(axis: str):
+def _result_specs(axis: str, direction: str = "sweeps"):
     """PartitionSpec pytree for a SolveResult: vectors sharded on the feature
-    axis, history matrices sharded on their minor axis, scalars replicated."""
+    axis, history matrices sharded on their minor axis, scalars replicated.
+    ``direction="rinv"`` adds the replicated [m, m] ``rinv`` factor the
+    throughput direction mode maintains."""
     from ..ops.history import LBFGSHistory
     vec = P(axis)
     rep = P()
     hist = LBFGSHistory(s=P(None, axis), y=P(None, axis), ys=rep,
-                        theta=rep, ncorr=rep, ptr=rep, sy=rep, yy=rep)
+                        theta=rep, ncorr=rep, ptr=rep, sy=rep, yy=rep,
+                        rinv=rep if direction == "rinv" else None)
     return SolveResult(x=vec, fx=rep, grad=vec, gnorm=rep, niter=rep,
                        nfev=rep, status=rep, history=hist)
 
@@ -104,14 +107,19 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
                      mesh: Optional[Mesh] = None,
                      axis_name: str = AXIS,
                      local_fun_and_grad: Optional[Callable] = None,
-                     line_search: str = "nocedalwright") -> SolveResult:
+                     line_search: str = "nocedalwright",
+                     direction: str = "sweeps") -> SolveResult:
     """L-BFGS with the parameter vector sharded over a 1-D mesh.
 
     ``x0`` is the global [n] vector (n divisible by the mesh size); the
     solve runs as one ``shard_map``-ped XLA program per device with exactly
     the collective sites audited in SURVEY.md §3.1 (||g||, g.d, the
     line-search directional derivatives, s'y & y'y fused into one psum, and
-    the 2m dots of the two-loop recursion).
+    the 2m dots of the two-loop recursion).  ``direction="rinv"`` selects
+    the compact-form R^{-1} two-loop; its maintenance and application work
+    entirely on the replicated [m]/[m, m] state (the feeding inner products
+    already ride the fused psums), so the collective count per iteration is
+    unchanged.
     """
     from ..lbfgs import minimize as _minimize
 
@@ -121,11 +129,12 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
 
     def solve_local(x0_local):
         return _minimize(fun_and_grad=fg, x0=x0_local, params=params,
-                         line_search=line_search, axis_name=axis_name)
+                         line_search=line_search, axis_name=axis_name,
+                         direction=direction)
 
     shmapped = jax.shard_map(solve_local, mesh=mesh,
                              in_specs=P(axis_name),
-                             out_specs=_result_specs(axis_name))
+                             out_specs=_result_specs(axis_name, direction))
     return shmapped(x0)
 
 

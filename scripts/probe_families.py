@@ -28,8 +28,10 @@ def sync(x):
     return np.asarray(x)  # device->host fetch is the only reliable sync
 
 
-def probe_owlqn(batch=1024, m_rows=128, n=64, reps=3):
-    print(f"[owlqn] batch={batch} lasso m={m_rows} n={n} f32", flush=True)
+def probe_owlqn(batch=1024, m_rows=128, n=64, reps=3,
+                fast_phase_epsilon=None, tag=""):
+    print(f"[owlqn{tag}] batch={batch} lasso m={m_rows} n={n} f32",
+          flush=True)
 
     def make_and_solve(key):
         kA, kw, kn2 = jax.random.split(key, 3)
@@ -44,7 +46,8 @@ def probe_owlqn(batch=1024, m_rows=128, n=64, reps=3):
 
         res = minimize_owlqn(loss, jnp.zeros(n, jnp.float32), lam,
                              LBFGSParams(epsilon=1e-5, epsilon_rel=0.0,
-                                         max_iterations=150))
+                                         max_iterations=150),
+                             fast_phase_epsilon=fast_phase_epsilon)
         # KKT violation in f32
         g = jax.grad(loss)(res.x)
         at0 = res.x == 0
@@ -60,7 +63,7 @@ def probe_owlqn(batch=1024, m_rows=128, n=64, reps=3):
         out = solve(keys); sync(out[0])
     dt = time.perf_counter() - t0
     fx, kkt, nnz, niter = (np.asarray(o) for o in out)
-    print(f"[owlqn] {batch*reps/dt:,.0f} solves/s/chip; "
+    print(f"[owlqn{tag}] {batch*reps/dt:,.0f} solves/s/chip; "
           f"kkt p50={np.median(kkt):.2e} p99={np.percentile(kkt,99):.2e}; "
           f"nnz p50={np.median(nnz):.0f}; niter p50={np.median(niter):.0f}",
           flush=True)
@@ -101,7 +104,23 @@ def probe_stochastic(n_rows=1 << 16, dim=256, batch=4096, steps=100,
 
 
 if __name__ == "__main__":
+    import sys as _sys
     print("backend:", jax.default_backend(), flush=True)
+    if "--two-phase-only" in _sys.argv:
+        # Two-phase matmul-precision schedule: fast bf16-pass phase to the
+        # noise floor, float32-precision endgame to 1e-5.  NOTE the floor
+        # applies to the pseudo-gradient NORM: per-coordinate bf16 noise
+        # ~1e-4 means a norm floor of ~sqrt(n)*1e-4 (~1e-3 at n=64).
+        floor = float(os.environ.get("PROBE_2PH_FLOOR", 1e-3))
+        kw = dict(batch=int(os.environ.get("PROBE_2PH_BATCH", 1024)),
+                  m_rows=int(os.environ.get("PROBE_2PH_ROWS", 128)),
+                  n=int(os.environ.get("PROBE_2PH_N", 64)))
+        probe_owlqn(fast_phase_epsilon=floor, tag=f"/2ph@{floor:g}", **kw)
+        with jax.default_matmul_precision("float32"):
+            print("[owlqn] -- matmul precision float32 (single phase) --",
+                  flush=True)
+            probe_owlqn(tag="/f32", **kw)
+        _sys.exit(0)
     # TPU f32 matmuls default to bf16 passes; the lasso gradient then
     # carries ~1e-4 noise and the 1e-5 pseudo-gradient test never fires.
     # Measure both precisions to separate solver cost from matmul mode.

@@ -187,3 +187,44 @@ class TestTriSolveModes:
         assert hist.rinv is None
         leaves = jax.tree.leaves(hist)
         assert len(leaves) == 8  # s y ys theta ncorr ptr sy yy
+
+
+class TestRinvSolverFuzz:
+    """Solver-level fuzz of the rinv direction mode: on random smooth
+    strictly-convex problems in f64 the rinv trajectory must reach the
+    sweeps trajectory's optimum, and (since the two schedules agree to
+    reassociation rounding) the iteration counts must match on nearly
+    every instance."""
+
+    def test_random_quartics_match_sweeps(self):
+        import functools
+        from lbfgspp_tpu import LBFGSParams, minimize
+
+        p = LBFGSParams(epsilon=1e-8, max_iterations=500)
+
+        @functools.partial(jax.jit, static_argnames="direction")
+        def solve(a_mat, b, x0, direction):
+            def fun(x):
+                return (0.5 * x @ (a_mat @ x) - b @ x
+                        + 0.1 * jnp.sum(x ** 4))
+            return minimize(fun, x0, p, direction=direction)
+
+        rng = np.random.default_rng(0)
+        same_niter = 0
+        total = 0
+        for n in (8, 16):
+            for _ in range(6):
+                q = rng.standard_normal((n, n))
+                a_mat = jnp.asarray(q @ q.T / n + np.eye(n))
+                b = jnp.asarray(rng.standard_normal(n))
+                x0 = jnp.asarray(rng.standard_normal(n))
+                r_sw = solve(a_mat, b, x0, "sweeps")
+                r_ri = solve(a_mat, b, x0, "rinv")
+                assert int(r_ri.status) == int(r_sw.status)
+                np.testing.assert_allclose(np.asarray(r_ri.x),
+                                           np.asarray(r_sw.x),
+                                           rtol=0, atol=1e-6)
+                same_niter += int(r_ri.niter) == int(r_sw.niter)
+                total += 1
+        # rounding may flip a line-search branch on the odd instance
+        assert same_niter >= total - 2, (same_niter, total)

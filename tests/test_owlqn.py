@@ -194,3 +194,38 @@ def test_fx_is_full_objective():
                          LBFGSParams(epsilon=1e-9, max_iterations=400))
     want = float(fun(res.x) + lam * jnp.sum(jnp.abs(res.x)))
     assert float(res.fx) == pytest.approx(want, rel=1e-12)
+
+
+def test_fast_phase_epsilon_two_phase_schedule():
+    """The two-phase matmul-precision schedule must reach the same solution
+    as a single-phase solve (on CPU the precision context is a no-op, so
+    this pins the restart/merge plumbing: counters accumulate, phase-2
+    endgame converges from the phase-1 iterate, zeros stay exact)."""
+    A, b = _lasso_problem()
+    lam = 0.02
+    p = LBFGSParams(epsilon=1e-6, epsilon_rel=0.0, max_iterations=200)
+    ref = minimize_owlqn(_loss_factory(A, b), jnp.zeros(A.shape[1]), lam, p)
+    two = minimize_owlqn(_loss_factory(A, b), jnp.zeros(A.shape[1]), lam, p,
+                         fast_phase_epsilon=1e-3)
+    assert int(two.status) == Status.CONVERGED_GRAD
+    assert float(two.gnorm) <= 1e-6
+    np.testing.assert_allclose(np.asarray(two.x), np.asarray(ref.x),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(two.x) == 0,
+                                  np.asarray(ref.x) == 0)
+    # phase-1 + phase-2 counters both contribute
+    assert int(two.niter) > int(
+        minimize_owlqn(_loss_factory(A, b), jnp.zeros(A.shape[1]), lam,
+                       LBFGSParams(epsilon=1e-3, epsilon_rel=0.0,
+                                   max_iterations=200)).niter)
+
+
+def test_fast_phase_epsilon_vmap():
+    """The schedule composes with vmap (the batched-lasso use case)."""
+    A, b = _lasso_problem()
+    lam = 0.02
+    p = LBFGSParams(epsilon=1e-6, epsilon_rel=0.0, max_iterations=200)
+    x0s = jnp.zeros((4, A.shape[1]))
+    res = jax.jit(jax.vmap(lambda x0: minimize_owlqn(
+        _loss_factory(A, b), x0, lam, p, fast_phase_epsilon=1e-3)))(x0s)
+    assert np.all(np.asarray(res.gnorm) <= 1e-6)

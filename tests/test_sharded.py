@@ -71,6 +71,23 @@ def test_rosenbrock_sharded_matches_single(mesh):
                                rtol=1e-10, atol=1e-12)
 
 
+def test_rinv_direction_sharded_matches_single(mesh):
+    """``direction="rinv"`` under shard_map: the R^{-1} maintenance and
+    application run on replicated [m, m] state fed by the same fused psums
+    as the sweeps path, so the sharded trajectory must match the
+    single-device rinv trajectory (same contract as the sweeps tests)."""
+    n = 64
+    x0 = jnp.zeros((n,))
+    p = LBFGSParams(epsilon=1e-6, max_iterations=200)
+    ref = minimize(rosenbrock, x0, p, direction="rinv")
+
+    res = minimize_sharded(rosenbrock, x0, p, mesh=mesh, direction="rinv")
+    assert res.history.rinv is not None
+    assert int(res.niter) == int(ref.niter)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_logreg_fun_and_grad_matches_replicated(mesh):
     """Non-separable objective with its own collective (one psum per
     evaluation): sharded solve == replicated solve."""
