@@ -74,6 +74,29 @@ def _compact_refine(s2, x0s: Array, k_refine: int, k_stage1: int):
     return jax.tree.map(lambda a: a[inv], merged)
 
 
+def _lift_history_pairs(hist, direction: str):
+    """Lift an [m, n] correction history into pair space ([m, 2n], lo = 0).
+
+    The main phase's curvature pairs are exact pair-space pairs with zero
+    lo words, and every cached inner product (ys, theta, Grams) is
+    unchanged by the zero-padding — so a polish solver can inherit the
+    full Hessian model instead of rebuilding it from scratch.  The
+    ``rinv`` factor is reconstructed from the Grams when the polish
+    direction mode needs one the source history doesn't carry.
+    """
+    from .ops import history as hist_ops
+
+    z = jnp.zeros_like(hist.s)
+    rinv = hist.rinv
+    if direction == "rinv" and rinv is None:
+        rinv = hist_ops.rinv_from_grams(hist)
+    elif direction != "rinv":
+        rinv = None
+    return hist._replace(s=jnp.concatenate([hist.s, z], axis=1),
+                         y=jnp.concatenate([hist.y, z], axis=1),
+                         rinv=rinv)
+
+
 def polish_solve(fun: Optional[Callable], x0: Array,
                  params: LBFGSParams,
                  iters: int,
@@ -81,7 +104,8 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                  fun_and_grad=None,
                  line_search: str = "morethuente",
                  drive: str = "while",
-                 direction: str = "sweeps") -> SolveResult:
+                 direction: str = "sweeps",
+                 warm_history=None) -> SolveResult:
     """Refine a stalled f32 solution with up to ``iters`` L-BFGS iterations
     in *double-float pair space* (:mod:`.utils.doublefloat`).
 
@@ -101,6 +125,13 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     The returned ``history`` is an empty [m, n] history (the polish
     curvature lives in pair space and does not transfer); Hessian
     accessors on it give ``theta * I``.
+
+    ``warm_history``: the main phase's final [m, n] history.  Its pairs
+    lift exactly into pair space (:func:`_lift_history_pairs`), so the
+    polish starts with the full Hessian model already built — the first
+    direction is the quasi-Newton ``-H g`` with unit step instead of the
+    cold steepest-descent restart, and the same solution quality needs
+    fewer df64 iterations (measured frontier in PERF.md).
     """
     from .utils import doublefloat as dfl
 
@@ -113,6 +144,11 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     n = x0.shape[0]
     x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])
     st = s.init(x2)
+    if warm_history is not None:
+        h2 = _lift_history_pairs(warm_history, direction)
+        drt = hist_ops.apply_hv(h2, st.grad, -1.0, tri=direction)
+        st = st._replace(hist=h2, drt=drt,
+                         step=jnp.ones((), x2.dtype))
     st = s.run_fixed(st, iters) if drive == "fixed" else s.run(st)
     res2 = s.finalize(st)
     x = dfl.pair_to_float(res2.x)
@@ -151,7 +187,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      refine_frac: float = 0.0,
                      refine_iters: int = 0,
                      drive: str = "while",
-                     direction: str = "sweeps") -> SolveResult:
+                     direction: str = "sweeps",
+                     polish_warm: bool = False) -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -169,7 +206,11 @@ def minimize_batched(fun: Optional[Callable] = None,
     starting from each instance's final iterate (the curvature history
     restarts — it lives in pair space there) with the same ``line_search``
     — on f32 hardware this recovers the reference's double-precision
-    solution quality at a few extra iterations' cost.
+    solution quality at a few extra iterations' cost.  ``polish_warm=True``
+    hands each instance's main-phase curvature history to the polish
+    (lifted into pair space, see :func:`_lift_history_pairs`), so the
+    polish starts from a full quasi-Newton model and the same quality
+    needs fewer ``polish_iters``.
 
     ``drive="fixed"`` replaces the termination-tested ``lax.while_loop``
     with a static ``params.max_iterations``-trip ``lax.fori_loop`` of
@@ -206,10 +247,16 @@ def minimize_batched(fun: Optional[Callable] = None,
                              "compaction (whose stages are while-driven)")
 
     def polish_batch(res):
-        pol = jax.vmap(lambda xf: polish_solve(
-            fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
-            line_search=line_search, drive=drive,
-            direction=direction))(res.x)
+        if polish_warm:
+            pol = jax.vmap(lambda xf, h: polish_solve(
+                fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
+                line_search=line_search, drive=drive,
+                direction=direction, warm_history=h))(res.x, res.history)
+        else:
+            pol = jax.vmap(lambda xf: polish_solve(
+                fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
+                line_search=line_search, drive=drive,
+                direction=direction))(res.x)
         return _merge_polished(res, pol)
 
     if use_refine:

@@ -424,6 +424,38 @@ def apply_hv_reference(hist: LBFGSHistory, v: Array, a,
     return res
 
 
+def rinv_from_grams(hist: LBFGSHistory) -> Array:
+    """Reconstruct the slot-order ``R^{-1}`` (R = age-ordered ``triu(S'Y)``,
+    the BNS compact-form factor) from the cached Gram ``sy`` alone — for
+    adopting a history that was built without ``with_rinv=True`` into the
+    ``tri="rinv"`` direction mode (e.g. warm-starting a continuation phase
+    from a sweeps-mode solve).
+
+    ``R = D + N`` with ``D = diag(ys)`` and ``N`` the strictly-older part of
+    the Gram, so ``R^{-1} = (sum_k (-D^{-1} N)^k) D^{-1}`` — the nilpotent
+    Neumann series, evaluated by repeated squaring in ceil(log2(m)) steps.
+    Matches the incrementally-maintained factor to rounding
+    (tests/test_history.py).
+    """
+    m = hist.m
+    dtype = hist.sy.dtype
+    slot_ids = jnp.arange(m)
+    dist = (hist.ptr - 1 - slot_ids) % m          # age-from-newest per slot
+    valid = dist < hist.ncorr
+    pair_valid = valid[:, None] & valid[None, :]
+    ys_safe = jnp.where(valid, hist.ys, 1.0)
+    # Strictly-older mask: row i older than column j (dist_i > dist_j).
+    n_strict = jnp.where(pair_valid & (dist[:, None] > dist[None, :]),
+                         hist.sy, 0.0)
+    b = -(n_strict / ys_safe[:, None])
+    acc = jnp.eye(m, dtype=dtype)
+    for _ in range(max(1, (m - 1).bit_length())):
+        acc = acc + b @ acc
+        b = b @ b
+    rinv = acc / ys_safe[None, :]
+    return jnp.where(pair_valid, rinv, 0.0)
+
+
 def _age_order_indices(hist: LBFGSHistory) -> Array:
     """Slot indices in oldest-to-newest order, padded cyclically.
 

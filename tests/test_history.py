@@ -228,3 +228,52 @@ class TestRinvSolverFuzz:
                 total += 1
         # rounding may flip a line-search branch on the odd instance
         assert same_niter >= total - 2, (same_niter, total)
+
+
+class TestRinvFromGrams:
+    """rinv_from_grams reconstructs the slot-order R^{-1} from the cached
+    Grams alone; it must match the incrementally-maintained factor."""
+
+    def _hist_pair(self, key, n, m, count):
+        hi = H.init_history(n, m, jnp.float64, with_rinv=True)
+        for s, y in random_pairs(key, n, count):
+            hi = H.add_correction(hi, s, y, jnp.asarray(True))
+        return hi
+
+    def test_matches_maintained(self):
+        for m, count in [(4, 2), (4, 4), (4, 9), (6, 6), (16, 40), (5, 7)]:
+            hi = self._hist_pair(jax.random.PRNGKey(m * 7 + count), 20, m,
+                                 count)
+            rec = H.rinv_from_grams(hi._replace(rinv=None))
+            np.testing.assert_allclose(np.asarray(rec), np.asarray(hi.rinv),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_empty_history(self):
+        hi = H.init_history(10, 4, jnp.float64)
+        np.testing.assert_array_equal(np.asarray(H.rinv_from_grams(hi)),
+                                      np.zeros((4, 4)))
+
+
+class TestLiftHistoryPairs:
+    """_lift_history_pairs: the pair-space lift of a real-space history
+    must act on [v; 0] exactly as the original acts on v (zero lo rows
+    contribute nothing), in every direction mode."""
+
+    def test_apply_hv_consistent(self):
+        from lbfgspp_tpu.batch import _lift_history_pairs
+
+        n, m = 12, 5
+        hist = H.init_history(n, m, jnp.float64)
+        for s, y in random_pairs(jax.random.PRNGKey(11), n, 7):
+            hist = H.add_correction(hist, s, y, jnp.asarray(True))
+        v = jax.random.normal(jax.random.PRNGKey(12), (n,), jnp.float64)
+        v2 = jnp.concatenate([v, jnp.zeros_like(v)])
+        base = np.asarray(H.apply_hv(hist, v, -1.0))
+        for direction in ("sweeps", "rinv"):
+            lifted = _lift_history_pairs(hist, direction)
+            assert lifted.s.shape == (m, 2 * n)
+            assert (lifted.rinv is not None) == (direction == "rinv")
+            out = np.asarray(H.apply_hv(lifted, v2, -1.0, tri=direction))
+            np.testing.assert_allclose(out[:n], base, rtol=1e-10,
+                                       atol=1e-12)
+            np.testing.assert_allclose(out[n:], 0.0, atol=1e-15)

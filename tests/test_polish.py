@@ -134,3 +134,42 @@ def test_minimize_df64_matches_f64_cpu_solution():
     r64 = minimize(rosenbrock, x0_64, params, line_search="morethuente")
     np.testing.assert_allclose(np.asarray(r32.x, np.float64),
                                np.asarray(r64.x), atol=2e-7)
+
+
+def test_warm_polish_meets_reference_criterion():
+    """polish_warm=True (the polish inherits the main phase's curvature
+    history, lifted to pair space) must meet the same quality bar as the
+    cold-restart polish."""
+    rng = np.random.default_rng(0)
+    B, n = 64, 100
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=300)
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=6,
+                           polish_warm=True)
+    assert res.x.dtype == jnp.float32
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
+
+
+def test_warm_polish_rinv_direction():
+    """Warm polish composes with direction="rinv" (the lifted history
+    carries the maintained R^{-1} straight through)."""
+    rng = np.random.default_rng(1)
+    B, n = 32, 100
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=300)
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=6,
+                           polish_warm=True, direction="rinv")
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
+
+
+def test_warm_polish_preserves_converged_instances():
+    """An instance already at the optimum must stay there under the warm
+    start (first direction -H g with unit step is ~0 when g ~ 0)."""
+    from lbfgspp_tpu import minimize
+
+    n = 10
+    params = LBFGSParams(epsilon=1e-5, max_iterations=50)
+    main = minimize(rosenbrock, jnp.full((n,), 0.5, jnp.float32), params)
+    pol = polish_solve(rosenbrock, main.x, params, 8,
+                       warm_history=main.history)
+    assert float(_maxerr(pol.x)) <= 1e-6
