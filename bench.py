@@ -11,15 +11,18 @@ example-rosenbrock-bracketing.cpp:50-54); the box-constrained batched
 metric rides along as ``box_*`` fields so rounds are comparable on both
 solver families.
 
-Two-phase headline solve: f32 main phase (m=16, 158 iterations) + 10
-df64 pair-polish iterations (utils/doublefloat.py) — recovers the
-reference's double-precision solution quality on f32 hardware.  The
-enlarged history (m=16 vs the reference default 6) cuts the iteration
-count superlinearly on this objective while the per-iteration [2m, n]
-products stay cheap at n=100; both phases use the ``direction="rinv"``
-compact-form R^-1 two-loop (3 [m, m] matvecs per direction instead of
-2m sequential sweep steps — same direction up to rounding, measured
-+5.5% end-to-end); measured frontier in PERF.md.
+Two-phase headline solve: f32 main phase (m=16, 162 iterations) + 5
+WARM-STARTED df64 pair-polish iterations (utils/doublefloat.py) —
+recovers the reference's double-precision solution quality on f32
+hardware.  The enlarged history (m=16 vs the reference default 6) cuts
+the iteration count superlinearly on this objective while the
+per-iteration [2m, n] products stay cheap at n=100; both phases use the
+``direction="rinv"`` compact-form R^-1 two-loop (3 [m, m] matvecs per
+direction instead of 2m sequential sweep steps — same direction up to
+rounding); the polish inherits the main phase's curvature history
+lifted into pair space (batch.polish_solve(warm_history=)), halving the
+df64 iterations needed for equal quality.  Measured frontier in
+PERF.md.
 
 Runs on the default backend (TPU via axon when available, CPU otherwise);
 everything is jitted once and re-run — nothing eager touches the device.
@@ -48,16 +51,17 @@ def main():
     n = 100
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    # --- headline: unconstrained batched solve + df64 polish ---
-    params = LBFGSParams(epsilon=1e-5, max_iterations=158, m=16)
-    polish_iters = 10
+    # --- headline: unconstrained batched solve + warm df64 polish ---
+    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+    polish_iters = 5
     direction = "rinv"
 
     def solve_one(x0):
         res = lbfgs.minimize(rosenbrock, x0, params, direction=direction)
         if on_tpu:
             pol = polish_solve(rosenbrock, res.x, params, polish_iters,
-                               direction=direction)
+                               direction=direction,
+                               warm_history=res.history)
             res = _merge_polished(res, pol)
         return res
 
@@ -110,8 +114,9 @@ def main():
     box_solved = float(np.mean(bfx <= 5.0 + 1e-3))
 
     it = params.max_iterations
-    phase = (f"main m={params.m} {it} it + df64 polish {polish_iters}, rinv"
-             if on_tpu else f"main m={params.m} {it} it, no polish (cpu)")
+    phase = (f"main m={params.m} {it} it + warm df64 polish {polish_iters}, "
+             f"rinv" if on_tpu else f"main m={params.m} {it} it, no polish "
+             f"(cpu)")
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "
                   f"(batch={batch}, backend={backend}, {phase}, "

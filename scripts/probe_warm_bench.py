@@ -29,6 +29,10 @@ CONFIGS = [
     (162, 6, True),
     (158, 4, True),
 ]
+if os.environ.get("PROBE_CONFIGS"):
+    CONFIGS = [(int(a), int(b), c in ("1", "true", "True"))
+               for a, b, c in (s.split(",") for s in
+                               os.environ["PROBE_CONFIGS"].split(";"))]
 
 
 def main():
