@@ -132,6 +132,15 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     direction is the quasi-Newton ``-H g`` with unit step instead of the
     cold steepest-descent restart, and the same solution quality needs
     fewer df64 iterations (measured frontier in PERF.md).
+
+    Regime boundary (measured, PERF.md "Warm-start polish"): the warm
+    start wins when the polish is an ENDGAME refinement — instances near
+    the acceptance criterion, the iteration-capped throughput regime the
+    bench ships.  When the main phase stalled at the f32 ulp wall far
+    from the criterion (generous budget, small n), its history pairs are
+    rounding-scale steps, and a short polish makes MORE progress
+    rebuilding curvature from clean df64 measurements than reusing them
+    — use the cold restart there.
     """
     from .utils import doublefloat as dfl
 
@@ -210,7 +219,10 @@ def minimize_batched(fun: Optional[Callable] = None,
     hands each instance's main-phase curvature history to the polish
     (lifted into pair space, see :func:`_lift_history_pairs`), so the
     polish starts from a full quasi-Newton model and the same quality
-    needs fewer ``polish_iters``.
+    needs fewer ``polish_iters`` — use it for endgame refinement
+    (iteration-capped throughput batches, the bench regime); keep the
+    cold restart when instances stall at the f32 wall far from the
+    criterion (see :func:`polish_solve` for the measured boundary).
 
     ``drive="fixed"`` replaces the termination-tested ``lax.while_loop``
     with a static ``params.max_iterations``-trip ``lax.fori_loop`` of

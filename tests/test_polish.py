@@ -173,3 +173,39 @@ def test_warm_polish_preserves_converged_instances():
     pol = polish_solve(rosenbrock, main.x, params, 8,
                        warm_history=main.history)
     assert float(_maxerr(pol.x)) <= 1e-6
+
+
+def test_warm_polish_composes_with_refine():
+    """polish_warm under the straggler-compaction path: the refined
+    result's history feeds the warm polish (composition smoke — runs,
+    correct shapes, every instance lands in the polish's capture basin)."""
+    rng = np.random.default_rng(2)
+    B, n = 32, 50
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=150)
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=6,
+                           polish_warm=True,
+                           refine_frac=0.25, refine_iters=50,
+                           direction="rinv")
+    assert res.x.shape == (B, n) and res.x.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(res.fx)))
+    # wall-regime warm polish: most instances still land near the optimum
+    assert float(np.median(_maxerr(res.x))) <= 1e-3
+
+
+def test_warm_polish_regime_boundary():
+    """Pins the measured regime boundary (PERF.md "Warm-start polish"):
+    on a wall-stalled batch far from the criterion (generous budget,
+    small n — the main phase's pairs are rounding-scale steps), a SHORT
+    cold polish must beat the warm one: rebuilding curvature from clean
+    df64 measurements outruns reusing the f32-wall model."""
+    rng = np.random.default_rng(2)
+    B, n = 32, 50
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=150)
+    q = []
+    for warm in (False, True):
+        res = minimize_batched(rosenbrock, x0s, params, polish_iters=6,
+                               polish_warm=warm, direction="rinv")
+        q.append(float(np.mean(_maxerr(res.x) <= 1e-4)))
+    assert q[0] >= q[1], q  # cold >= warm in the wall regime
