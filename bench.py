@@ -11,10 +11,13 @@ example-rosenbrock-bracketing.cpp:50-54); the box-constrained batched
 metric rides along as ``box_*`` fields so rounds are comparable on both
 solver families.
 
-Two-phase headline solve: f32 main phase (m=16, 162 iterations) + 5
-WARM-STARTED df64 pair-polish iterations (utils/doublefloat.py) —
+Three-phase headline solve: f32 main phase (m=16, 162 iterations) + 5
+WARM-STARTED df64 pair-polish iterations (utils/doublefloat.py) + a
+straggler-targeted deep df64 stage (batch.deep_polish) that gives only
+the hardest ~0.4% of instances a 60-iteration cold-df64 budget —
 recovers the reference's double-precision solution quality on f32
-hardware.  The enlarged history (m=16 vs the reference default 6) cuts
+hardware and closes the last ~0.05% to the reference's EVERY-RUN
+multistart criterion.  The enlarged history (m=16 vs the reference default 6) cuts
 the iteration count superlinearly on this objective while the
 per-iteration [2m, n] products stay cheap at n=100; both phases use the
 ``direction="rinv"`` compact-form R^-1 two-loop (3 [m, m] matvecs per
@@ -41,7 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from lbfgspp_tpu import LBFGSParams, LBFGSBParams, lbfgs, lbfgsb
-    from lbfgspp_tpu.batch import polish_solve, _merge_polished
+    from lbfgspp_tpu.batch import polish_solve, _merge_polished, deep_polish
     from lbfgspp_tpu.utils.objectives import rosenbrock
 
     backend = jax.default_backend()
@@ -51,10 +54,18 @@ def main():
     n = 100
     dtype = jnp.float32 if on_tpu else jnp.float64
 
-    # --- headline: unconstrained batched solve + warm df64 polish ---
+    # --- headline: unconstrained batched solve + warm df64 polish +
+    # straggler-targeted deep df64 refinement ---
+    # Three phases (PERF.md frontier): f32 main (m=16, rinv), 5 warm df64
+    # polish iterations for the 99.9%, then a deep cold-df64 budget for
+    # ONLY the hardest k_deep instances — this is what closes the last
+    # ~0.05% to the reference's every-run criterion at negligible cost
+    # (k_deep/batch * deep_iters ~ 0.2 iteration-equivalents).
     params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
     polish_iters = 5
     direction = "rinv"
+    k_deep = max(4, batch // 256)
+    deep_iters = 60
 
     def solve_one(x0):
         res = lbfgs.minimize(rosenbrock, x0, params, direction=direction)
@@ -65,7 +76,14 @@ def main():
             res = _merge_polished(res, pol)
         return res
 
-    solve = jax.jit(lambda xs: jax.vmap(solve_one)(xs))
+    def solve_batch(xs):
+        res = jax.vmap(solve_one)(xs)
+        if on_tpu:
+            res = deep_polish(rosenbrock, res, params, k_deep, deep_iters,
+                              direction=direction)
+        return res
+
+    solve = jax.jit(solve_batch)
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
@@ -111,12 +129,20 @@ def main():
     bdt = time.perf_counter() - t0
     box_solves_per_s = bbatch * reps / bdt
     bfx = np.asarray(bres.fx, np.float64)
-    box_solved = float(np.mean(bfx <= 5.0 + 1e-3))
+    # Quality gate at the SAME rigor as the headline: the x-space 1e-4
+    # criterion against the known constrained optimum — every (even, odd)
+    # pair pins at (2, 4) (example-rosenbrock-box.cpp:36-64 analog; the
+    # coupling term 100(x_odd - x_even^2)^2 drives x_odd to its bound once
+    # x_even is pinned at lb).  fx rides along as a secondary check.
+    bx_star = np.tile([2.0, 4.0], bn // 2)
+    bxn = np.asarray(bres.x, np.float64)
+    box_solved = float(np.mean(np.max(np.abs(bxn - bx_star), axis=1) <= 1e-4))
+    box_fx_ok = float(np.mean(bfx <= 5.0 + 1e-3))
 
     it = params.max_iterations
-    phase = (f"main m={params.m} {it} it + warm df64 polish {polish_iters}, "
-             f"rinv" if on_tpu else f"main m={params.m} {it} it, no polish "
-             f"(cpu)")
+    phase = (f"main m={params.m} {it} it + warm df64 polish {polish_iters} "
+             f"+ deep df64 {deep_iters} on worst {k_deep}, rinv" if on_tpu
+             else f"main m={params.m} {it} it, no polish (cpu)")
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "
                   f"(batch={batch}, backend={backend}, {phase}, "
@@ -127,10 +153,12 @@ def main():
         "frac_within_1e-4": round(solved, 4),
         "box_metric": f"batched box Rosenbrock n={bn} lb=2 ub=4 L-BFGS-B "
                       f"solves/s/chip (batch={bbatch}, eps=1e-6, "
-                      f"prefix GCP)",
+                      f"prefix GCP; frac_optimal = x-space "
+                      f"max|x-x*|<=1e-4 criterion)",
         "box_value": round(box_solves_per_s, 2),
         "box_vs_target": round(box_solves_per_s / 1e4, 4),
         "box_frac_optimal": round(box_solved, 4),
+        "box_frac_fx_ok": round(box_fx_ok, 4),
     }))
 
 

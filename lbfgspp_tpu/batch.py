@@ -174,6 +174,62 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                        history=hist_ops.init_history(n, params.m, x.dtype))
 
 
+def deep_polish(fun: Optional[Callable], res: SolveResult,
+                params: LBFGSParams, k_deep: int, deep_iters: int,
+                *,
+                fun_and_grad=None,
+                line_search: str = "morethuente",
+                direction: str = "sweeps") -> SolveResult:
+    """Straggler-targeted deep df64 refinement of a batched result.
+
+    The reference's own multistart acceptance bar is *every-run*:
+    ``max|x_i - 1| <= 1e-4`` on each of 1024 random starts
+    (example-rosenbrock-bracketing.cpp:50-54).  A two-phase f32+polish
+    batch run leaves a ~0.05% tail of instances short of that criterion
+    (the polish budget is tuned for the 99.9%); this stage gives ONLY
+    the hardest ``k_deep`` instances a deep df64 budget — cost ~=
+    ``(k_deep / batch) * deep_iters`` iterations-equivalent, negligible
+    for k_deep <= 0.5% of the batch.
+
+    Selection is in-band (no oracle): instances that did not converge
+    (iteration cap or line-search failure) rank first, then by gradient
+    norm descending; NaN gradient norms rank as worst.  The selected
+    instances are re-polished from their current iterate with a COLD
+    df64 restart (:func:`polish_solve` — their previous history stalled
+    at the criterion, the regime where rebuilding curvature from clean
+    df64 measurements wins; see the regime boundary note there) and the
+    refined fields are scattered back.  The deep phase is a terminating
+    while-loop over ``k_deep`` instances, so its wall time is bounded by
+    the slowest straggler, not the cap.  One [k, n] gather + one
+    scatter per solve — not per iteration.
+    """
+    gn = jnp.asarray(res.gnorm, jnp.float32)
+    gn = jnp.where(jnp.isnan(gn), jnp.inf, gn)
+    unconv = (res.status == jnp.int32(Status.MAX_ITERATIONS)) | \
+        (res.status >= jnp.int32(10))
+    batch = gn.shape[0]
+    # Integer composite rank (no float-precision tie collapse): primary =
+    # unconverged-before-converged, secondary = gradient norm descending.
+    rank = jnp.argsort(jnp.argsort(-gn))           # 0 = largest gnorm
+    order = jnp.argsort(jnp.where(unconv, rank, rank + batch))
+    idx = order[:k_deep]
+
+    pol = jax.vmap(lambda x0: polish_solve(
+        fun, x0, params, deep_iters, fun_and_grad=fun_and_grad,
+        line_search=line_search, direction=direction))(res.x[idx])
+
+    def scat(a, b):
+        return a.at[idx].set(b)
+
+    return SolveResult(
+        x=scat(res.x, pol.x), fx=scat(res.fx, pol.fx),
+        grad=scat(res.grad, pol.grad), gnorm=scat(res.gnorm, pol.gnorm),
+        niter=scat(res.niter, res.niter[idx] + pol.niter),
+        nfev=scat(res.nfev, res.nfev[idx] + pol.nfev),
+        status=scat(res.status, pol.status),
+        history=res.history)
+
+
 def _merge_polished(res: SolveResult, pol: SolveResult) -> SolveResult:
     """Combine main + polish phases: iterates from the polish phase,
     counters summed, history (in original-space shape) from the main
@@ -197,7 +253,9 @@ def minimize_batched(fun: Optional[Callable] = None,
                      refine_iters: int = 0,
                      drive: str = "while",
                      direction: str = "sweeps",
-                     polish_warm: bool = False) -> SolveResult:
+                     polish_warm: bool = False,
+                     deep_frac: float = 0.0,
+                     deep_iters: int = 0) -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -234,6 +292,15 @@ def minimize_batched(fun: Optional[Callable] = None,
     ``params.max_iterations``; the polish phase (fixed 12 iterations by
     construction) always profits.
 
+    ``deep_frac``/``deep_iters`` enable straggler-targeted deep
+    refinement (:func:`deep_polish`) AFTER the polish phase: the hardest
+    ``deep_frac`` of instances (unconverged first, then by gradient
+    norm) get up to ``deep_iters`` extra cold-restart df64 iterations.
+    This is how the reference's *every-run* acceptance bar
+    (example-rosenbrock-bracketing.cpp:50-54) is met on f32 hardware at
+    batch throughput: the polish budget serves the 99.9%, the deep stage
+    the remaining handful at ~``deep_frac * deep_iters`` amortized cost.
+
     ``refine_frac``/``refine_iters`` enable straggler compaction
     (:func:`_compact_refine`): the batch runs in lockstep only to
     ``params.max_iterations``, then the hardest ``refine_frac`` of
@@ -258,6 +325,8 @@ def minimize_batched(fun: Optional[Callable] = None,
             raise ValueError("drive='fixed' does not compose with straggler "
                              "compaction (whose stages are while-driven)")
 
+    use_deep = deep_frac > 0.0 and deep_iters > 0
+
     def polish_batch(res):
         if polish_warm:
             pol = jax.vmap(lambda xf, h: polish_solve(
@@ -270,6 +339,17 @@ def minimize_batched(fun: Optional[Callable] = None,
                 line_search=line_search, drive=drive,
                 direction=direction))(res.x)
         return _merge_polished(res, pol)
+
+    def post(res):
+        if polish_iters:
+            res = polish_batch(res)
+        if use_deep:
+            batch = res.x.shape[0]
+            k_deep = max(1, min(batch, int(round(deep_frac * batch))))
+            res = deep_polish(fun, res, params, k_deep, deep_iters,
+                              fun_and_grad=fun_and_grad,
+                              line_search=line_search, direction=direction)
+        return res
 
     if use_refine:
         if params.max_iterations == 0:
@@ -286,7 +366,7 @@ def minimize_batched(fun: Optional[Callable] = None,
         def f(xs):
             res = jax.vmap(s2.finalize)(_compact_refine(
                 s2, xs, k_refine, params.max_iterations))
-            return polish_batch(res) if polish_iters else res
+            return post(res)
     else:
         s1 = lbfgs.solver(fun, params, fun_and_grad=fun_and_grad,
                           line_search=line_search, direction=direction)
@@ -299,7 +379,7 @@ def minimize_batched(fun: Optional[Callable] = None,
 
         def f(xs):
             res = jax.vmap(solve_one)(xs)
-            return polish_batch(res) if polish_iters else res
+            return post(res)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -351,7 +431,8 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        batch_axis: str = "batch",
                        gcp: str = "auto",
                        unroll_subspace: bool = False,
-                       drive: str = "while") -> SolveResult:
+                       drive: str = "while",
+                       middle_solve: str = "gj") -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
     per-instance [B, n].
 
@@ -399,7 +480,8 @@ def minimize_b_batched(fun: Optional[Callable] = None,
         s = lbfgsb.solver(fun, lbi, ubi, params,
                           fun_and_grad=fun_and_grad,
                           line_search=line_search, gcp=gcp,
-                          unroll_subspace=unroll_subspace)
+                          unroll_subspace=unroll_subspace,
+                          middle_solve=middle_solve)
         st = s.init(x0)
         st = (s.run_fixed(st, params.max_iterations)
               if drive == "fixed" else s.run(st))

@@ -112,7 +112,8 @@ def solver(fun: Optional[Callable] = None,
            line_search="morethuente",
            axis_name: Optional[str] = None,
            gcp: str = "scan",
-           unroll_subspace: bool = False):
+           unroll_subspace: bool = False,
+           middle_solve: str = "gj"):
     """Build the L-BFGS-B ``init/step/finalize`` triple (see
     :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over.
 
@@ -126,10 +127,21 @@ def solver(fun: Optional[Callable] = None,
     early GCP from an interior start crosses ~n break points, which costs
     the scan/walk ~n sequential steps but the prefix form none).
     ``unroll_subspace`` statically unrolls the BOXCQP active-set loop
-    (identical values; see :func:`..ops.subspace.subspace_minimize`)."""
+    (identical values; see :func:`..ops.subspace.subspace_minimize`).
+
+    ``middle_solve`` selects the 2m x 2m middle-matrix solve: ``"gj"``
+    (default) is the statically-unrolled Gauss-Jordan elimination —
+    algebraically the reference's solve, TPU/vmap-friendly; ``"bkldlt"``
+    is the faithful Bunch-Kaufman LDL' with rook pivoting the reference
+    factorizes on every correction (BFGSMat.h:52, :143-145, :558;
+    BKLDLT.h:390-441).  Either way a failed/zero pivot latches the
+    factorization's NUMERICAL_ISSUE status (BKLDLT.h:15-20) into the
+    result: ``SolveResult.numerical_issue`` (the reference computes this
+    status but silently discards it — here it reaches the caller)."""
     from .lbfgs import Solver
 
     gcp = _resolve_gcp(gcp, axis_name)
+    bmat._resolve_middle_solve(middle_solve)   # eager validation
 
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
@@ -141,7 +153,8 @@ def solver(fun: Optional[Callable] = None,
         dtype = x0.dtype
         lbb = jnp.broadcast_to(jnp.asarray(lb, dtype), x0.shape)
         ubb = jnp.broadcast_to(jnp.asarray(ub, dtype), x0.shape)
-        return _init(fg, x0, lbb, ubb, params, axis_name, gcp_fn)
+        return _init(fg, x0, lbb, ubb, params, axis_name, gcp_fn,
+                     middle_solve)
 
     def step(c: LBFGSBState) -> LBFGSBState:
         dtype = c.x.dtype
@@ -150,7 +163,7 @@ def solver(fun: Optional[Callable] = None,
         return freeze_when(
             c.done, c,
             lambda s: _body(fg, search, s, lbb, ubb, params, axis_name,
-                            gcp_fn, unroll_subspace))
+                            gcp_fn, unroll_subspace, middle_solve))
 
     def run(c: LBFGSBState) -> LBFGSBState:
         return lax.while_loop(lambda s: ~s.done, step, c)
@@ -168,7 +181,8 @@ def solver(fun: Optional[Callable] = None,
                   run_fixed=run_fixed)
 
 
-def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point):
+def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point,
+          middle_solve=None):
     dtype = x0.dtype
     n = x0.shape[0]
     fpast = params.past
@@ -187,7 +201,7 @@ def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point):
     early = (pg0 <= params.epsilon) | \
         (pg0 <= params.epsilon_rel * coll.pnorm(x0, axis_name))
 
-    hist0 = bmat.init_b_history(n, params.m, dtype)
+    hist0 = bmat.init_b_history(n, params.m, dtype, middle_solve)
     if axis_name is not None:
         base = hist0.base._replace(s=coll.pvary(hist0.base.s, axis_name),
                                    y=coll.pvary(hist0.base.y, axis_name))
@@ -209,7 +223,8 @@ def _init(fg, x0, lb, ub, params, axis_name, gcp_fn=cauchy.cauchy_point):
 
 
 def _body(fg, search, c, lb, ub, params, axis_name,
-          gcp_fn=cauchy.cauchy_point, unroll_subspace=False):
+          gcp_fn=cauchy.cauchy_point, unroll_subspace=False,
+          middle_solve=None):
     """One outer iteration (LBFGSB.h:171-258)."""
     dtype = c.x.dtype
     n = c.x.shape[0]
@@ -221,7 +236,7 @@ def _body(fg, search, c, lb, ub, params, axis_name,
     # Pathological-direction rescue (LBFGSB.h:181-197).
     patho = (dg >= 0.0) | (step_max <= params.min_step)
     drt = jnp.where(patho, c.xcp - c.x, c.drt)
-    fresh = bmat.init_b_history(n, params.m, dtype)
+    fresh = bmat.init_b_history(n, params.m, dtype, middle_solve)
     if axis_name is not None:
         fresh = fresh._replace(base=fresh.base._replace(
             s=coll.pvary(fresh.base.s, axis_name),
@@ -269,7 +284,8 @@ def _body(fg, search, c, lb, ub, params, axis_name,
     # all incremental middle-matrix products share one fused collective.
     s = ls.x - xp
     y = ls.grad - gradp
-    hist, _ = bmat.update_history_b(hist, s, y, ~done, axis_name)
+    hist, _ = bmat.update_history_b(hist, s, y, ~done, axis_name,
+                                    middle_solve)
 
     # Projection, GCP and subspace phase (LBFGSB.h:240-250).  On the
     # terminating iteration the reference returns the line-search x
@@ -279,7 +295,7 @@ def _body(fg, search, c, lb, ub, params, axis_name,
     drt_next, sub_info = subspace.subspace_minimize(
         hist, x_next, cp.xcp, ls.grad, lb, ub, cp.vecc,
         cp.newact_mask, cp.free_mask, params.max_submin, axis_name,
-        unroll=unroll_subspace)
+        unroll=unroll_subspace, middle_solve=middle_solve)
     # Latch any failed middle-matrix factorization into the history's
     # visible info flag (SolveResult.history.info; the reference ignores
     # factorization status, BFGSMat.h:558 — this is observability only).
@@ -302,7 +318,8 @@ def minimize(fun: Optional[Callable] = None,
              fun_and_grad=None,
              line_search="morethuente",
              axis_name: Optional[str] = None,
-             gcp: str = "scan") -> SolveResult:
+             gcp: str = "scan",
+             middle_solve: str = "gj") -> SolveResult:
     """Minimize ``fun`` over the box ``[lb, ub]`` from ``x0`` with L-BFGS-B.
 
     Mirrors ``LBFGSBSolver::minimize`` (LBFGSB.h:117-262).  ``line_search``
@@ -311,7 +328,12 @@ def minimize(fun: Optional[Callable] = None,
     ``+/-inf``, and ``lb[i] == ub[i]`` pins a variable (Cauchy.h:113-114).
     ``gcp`` selects the Cauchy-point implementation (see :func:`solver`;
     use ``"prefix_sorted"`` for large single-instance n).
+    ``middle_solve`` routes the 2m x 2m middle-matrix systems:
+    ``"gj"`` (default) or ``"bkldlt"`` (the reference's Bunch-Kaufman,
+    see :func:`solver`); a failed factorization surfaces as
+    ``SolveResult.numerical_issue``.
     """
     s = solver(fun, lb, ub, params, fun_and_grad=fun_and_grad,
-               line_search=line_search, axis_name=axis_name, gcp=gcp)
+               line_search=line_search, axis_name=axis_name, gcp=gcp,
+               middle_solve=middle_solve)
     return s.finalize(s.run(s.init(x0)))

@@ -81,13 +81,30 @@ class BHistory(NamedTuple):
         return self.base.theta
 
 
-# When True, the middle-matrix systems use the faithful Bunch-Kaufman LDL'
-# (:mod:`.bkldlt`) exactly like the reference; when False they use one fused
-# ``jnp.linalg.solve`` (LU) — algebraically the same solve, far cheaper to
-# compile and a single XLA op on TPU.  The BKLDLT path is kept for numerics
-# parity testing (tests/test_bkldlt.py) and for pathologically indefinite
-# middle matrices.
+# Module-wide DEFAULT for the middle-matrix solve routing — the per-call
+# ``middle_solve="gj"|"bkldlt"`` argument (threaded from
+# ``lbfgsb.solver``/``minimize_b`` down through every factorization site)
+# overrides it.  When True, calls that don't specify ``middle_solve`` use
+# the faithful Bunch-Kaufman LDL' (:mod:`.bkldlt`) exactly like the
+# reference; when False they use the statically-unrolled Gauss-Jordan
+# elimination — algebraically the same solve, far cheaper to compile and
+# TPU/vmap-friendly.  Kept for back-compat with round-2/3 callers; new
+# code should pass ``middle_solve`` explicitly.
 USE_BKLDLT = False
+
+#: Valid values for the per-call ``middle_solve`` option.
+MIDDLE_SOLVES = ("gj", "bkldlt")
+
+
+def _resolve_middle_solve(middle_solve):
+    """Map the per-call option (or None = module default) to a mode."""
+    if middle_solve is None:
+        return "bkldlt" if USE_BKLDLT else "gj"
+    if middle_solve not in MIDDLE_SOLVES:
+        raise ValueError(
+            f"middle_solve must be one of {MIDDLE_SOLVES}, "
+            f"got {middle_solve!r}")
+    return middle_solve
 
 
 def _dense_inv(a: Array) -> Array:
@@ -134,10 +151,13 @@ def _dense_inv(a: Array) -> Array:
     return aug[:, n:], bad.astype(jnp.int32)
 
 
-def _sym_solve(a: Array, b: Array):
+def _sym_solve(a: Array, b: Array, middle_solve=None):
     """Solve ``a x = b`` for the (possibly indefinite) symmetric 2m x 2m
-    middle matrix: BKLDLT (BFGSMat.h:52, :558) or Gauss-Jordan."""
-    if USE_BKLDLT:
+    middle matrix: Bunch-Kaufman LDL' (BFGSMat.h:52, :558) or Gauss-Jordan,
+    routed by ``middle_solve`` ("gj"/"bkldlt"; None = module default).
+    Returns ``(x, info)`` with ``info > 0`` mirroring the factorization's
+    NUMERICAL_ISSUE status (BKLDLT.h:15-20)."""
+    if _resolve_middle_solve(middle_solve) == "bkldlt":
         fac = bkldlt.compute(a)
         if b.ndim == 1:
             return bkldlt.solve(fac, b), fac.info
@@ -147,7 +167,7 @@ def _sym_solve(a: Array, b: Array):
     return inv @ b, info
 
 
-def _factor_minv(minv: Array, theta: Array, m: int):
+def _factor_minv(minv: Array, theta: Array, m: int, middle_solve=None):
     """Factorize the theta-scaled middle matrix and materialize its inverse.
 
     Mirrors BFGSMat.h:143-145 (scale S'S block by theta, factorize, unscale).
@@ -159,21 +179,24 @@ def _factor_minv(minv: Array, theta: Array, m: int):
     sel = jnp.arange(2 * m) >= m
     block_mask = sel[:, None] & sel[None, :]
     scaled = jnp.where(block_mask, minv * theta, minv)
-    mdense, info = _sym_solve(scaled, jnp.eye(2 * m, dtype=dtype))
+    mdense, info = _sym_solve(scaled, jnp.eye(2 * m, dtype=dtype),
+                              middle_solve)
     return mdense, info
 
 
-def init_b_history(n: int, m: int, dtype=jnp.float32) -> BHistory:
+def init_b_history(n: int, m: int, dtype=jnp.float32,
+                   middle_solve=None) -> BHistory:
     """Fresh B-mode history (BFGSMat::reset with LBFGSB=true,
     BFGSMat.h:61-78)."""
     base = init_history(n, m, dtype)
     minv = jnp.eye(2 * m, dtype=dtype)
-    mdense, info = _factor_minv(minv, base.theta, m)
+    mdense, info = _factor_minv(minv, base.theta, m, middle_solve)
     return BHistory(base=base, minv=minv, mdense=mdense, info=info)
 
 
 def add_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
-                     axis_name: Optional[str] = None) -> BHistory:
+                     axis_name: Optional[str] = None,
+                     middle_solve=None) -> BHistory:
     """Masked correction update including the middle matrix
     (BFGSMat::add_correction, B branch, BFGSMat.h:81-147).
 
@@ -189,22 +212,25 @@ def add_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
     * refactorize (BFGSMat.h:143-145).
     """
     yx, sx, pair = correction_products(bh.base, s, y, axis_name)
-    return _finish_correction_b(bh, s, y, accept, yx, sx, pair)
+    return _finish_correction_b(bh, s, y, accept, yx, sx, pair, middle_solve)
 
 
 def update_history_b(bh: BHistory, s: Array, y: Array, allow: Array,
-                     axis_name: Optional[str] = None):
+                     axis_name: Optional[str] = None,
+                     middle_solve=None):
     """Fused curvature gate + B-mode correction: one collective total
     (the gate at LBFGSB.h:237 plus BFGSMat.h:81-147)."""
     eps = jnp.finfo(s.dtype).eps
     yx, sx, pair = correction_products(bh.base, s, y, axis_name)
     sy_new, yy_new, _ = pair
     accept = allow & (sy_new > eps * yy_new)
-    return _finish_correction_b(bh, s, y, accept, yx, sx, pair), accept
+    return _finish_correction_b(bh, s, y, accept, yx, sx, pair,
+                                middle_solve), accept
 
 
 def _finish_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
-                         yx: Array, sx: Array, pair) -> BHistory:
+                         yx: Array, sx: Array, pair,
+                         middle_solve=None) -> BHistory:
     """All ``minv`` writes are one-hot masked selects (no dynamic slicing):
     ``loc`` is a traced per-instance scalar, so under ``vmap`` a
     ``dynamic_update_slice`` would become a batched scatter — which lowers
@@ -266,7 +292,7 @@ def _finish_correction_b(bh: BHistory, s: Array, y: Array, accept: Array,
     minv = jnp.where(accept & (top_half[:, None] & e_bot[None, :]),
                      l2[:, None], minv)
 
-    mdense, info = _factor_minv(minv, base.theta, m)
+    mdense, info = _factor_minv(minv, base.theta, m, middle_solve)
     # Latch: once any factorization in this history's lifetime failed,
     # info stays set (a matrix reset builds a fresh history and clears it).
     return BHistory(base=base, minv=minv, mdense=mdense,
@@ -333,7 +359,8 @@ def compute_ftbab(bh: BHistory, free_mask: Array, act_mask: Array,
 
 
 def solve_ptbp(bh: BHistory, mask: Array, v: Array,
-               axis_name: Optional[str] = None):
+               axis_name: Optional[str] = None,
+               middle_solve=None):
     """``inv(P'BP) v`` on the masked coordinates (BFGSMat::solve_PtBP,
     BFGSMat.h:529-565):
 
@@ -362,7 +389,7 @@ def solve_ptbp(bh: BHistory, mask: Array, v: Array,
 
     wpv = coll.pmatvec(stacked, jnp.where(mask, v, 0.0), axis_name)
     wpv = wpv.at[m:].multiply(theta)
-    z, info = _sym_solve(mid, wpv)
+    z, info = _sym_solve(mid, wpv, middle_solve)
     z = z.at[m:].multiply(theta)
     # WP @ z with *raw* S rows (theta is carried in z's s-part, as in the
     # reference where WP omits the theta factor, BFGSMat.h:540, :560-564).

@@ -54,7 +54,8 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
                       newact_mask: Array, free_mask: Array,
                       maxit: int,
                       axis_name: Optional[str] = None,
-                      unroll: bool = False):
+                      unroll: bool = False,
+                      middle_solve=None):
     """Return ``(drt, info)`` where ``drt = xsm - x0`` is the search
     direction (SubspaceMin::subspace_minimize, SubspaceMin.h:122-302) and
     ``info > 0`` flags a failed middle-matrix factorization in any of this
@@ -66,7 +67,11 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
     ``maxit`` statically unrolled iterations whose converged instances are
     frozen by selects — identical values (the freeze mirrors the loop
     exit), but one fused XLA computation instead of a nested sequential
-    loop, which is what the batched (vmap) box solver wants."""
+    loop, which is what the batched (vmap) box solver wants.
+
+    ``middle_solve`` routes every ``solve_PtBP`` middle-matrix system:
+    ``"gj"`` (Gauss-Jordan, default) or ``"bkldlt"`` (the reference's
+    Bunch-Kaufman LDL', BFGSMat.h:558)."""
     dtype = x0.dtype
     eps = jnp.finfo(dtype).eps
     theta = bh.theta
@@ -84,7 +89,8 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
     vecu = jnp.where(free_mask, ub - x0, 0.0)
 
     # Unconstrained solve y = -inv(B[F, F]) c (SubspaceMin.h:157-159).
-    y0, info0 = bmat.solve_ptbp(bh, free_mask, -vecc, axis_name)
+    y0, info0 = bmat.solve_ptbp(bh, free_mask, -vecc, axis_name,
+                                middle_solve)
 
     # Feasibility shortcut (SubspaceMin.h:160-166).
     feasible = coll.pall(
@@ -114,7 +120,8 @@ def subspace_minimize(bh: bmat.BHistory, x0: Array, xcp: Array, g: Array,
         rhs = jnp.where(p_set, vecc, 0.0)
         rhs = rhs + bmat.apply_ptbqv(bh, p_set, l_set, vecl, axis_name)
         rhs = rhs + bmat.apply_ptbqv(bh, p_set, u_set, vecu, axis_name)
-        yp, info_p = bmat.solve_ptbp(bh, p_set, -rhs, axis_name)
+        yp, info_p = bmat.solve_ptbp(bh, p_set, -rhs, axis_name,
+                                     middle_solve)
         y = jnp.where(p_set, yp, y)
 
         # Multipliers: lambda[L] = B[L,F] y + c[L]; mu[U] = -B[U,F] y - c[U]

@@ -160,7 +160,8 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
                        axis_name: str = AXIS,
                        local_fun_and_grad: Optional[Callable] = None,
                        line_search: str = "morethuente",
-                       gcp: str = "walk") -> SolveResult:
+                       gcp: str = "walk",
+                       middle_solve: str = "gj") -> SolveResult:
     """L-BFGS-B with the parameter vector (and its box bounds) sharded
     over a 1-D mesh.
 
@@ -190,7 +191,7 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
         return _minimize_b(fun_and_grad=fg, x0=x0_local, lb=lb_local,
                            ub=ub_local, params=params,
                            line_search=line_search, axis_name=axis_name,
-                           gcp=gcp)
+                           gcp=gcp, middle_solve=middle_solve)
 
     shmapped = jax.shard_map(solve_local, mesh=mesh,
                              in_specs=(P(axis_name), P(axis_name),

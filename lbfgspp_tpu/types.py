@@ -82,6 +82,20 @@ class SolveResult(NamedTuple):
     status: Array    # int32, Status value
     history: Any     # LBFGSHistory / LBFGSBHistory at the final iterate
 
+    @property
+    def numerical_issue(self) -> Array:
+        """True where a middle-matrix factorization hit a failed/zero
+        pivot during the solve (L-BFGS-B only) — the factorization's
+        NUMERICAL_ISSUE status (BKLDLT.h:15-20), which the reference
+        computes but silently discards (BFGSMat.h:558).  Latched across
+        iterations; a pathological-direction matrix reset clears it.
+        Always False for L-BFGS results (no middle matrix exists).
+        Batched results return a per-instance boolean array."""
+        info = getattr(self.history, "info", None)
+        if info is None:
+            return jnp.zeros(jnp.shape(self.fx), bool)
+        return info > 0
+
 
 # A value-and-gradient oracle: x -> (fx, grad).
 ValueAndGrad = Callable[[Array], tuple]

@@ -46,18 +46,30 @@ def main():
 
     def solve_one(x0):
         res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv")
-        pol = polish_solve(rosenbrock, res.x, params, polish_iters,
-                           direction="rinv", warm_history=res.history)
-        return _merge_polished(res, pol)
+        # Mirror bench.py: the df64 polish ships only on TPU, so a CPU
+        # probe run must measure the same phase structure the bench does
+        # per backend (df64-pair arithmetic on an f64 backend is a
+        # configuration the bench never runs).
+        if on_tpu:
+            pol = polish_solve(rosenbrock, res.x, params, polish_iters,
+                               direction="rinv", warm_history=res.history)
+            res = _merge_polished(res, pol)
+        return res
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
 
     def layout_report(f, arg, tag):
-        """Count the dominant intermediate orientations in the lowered HLO."""
-        txt = jax.jit(f).lower(arg).as_text()
-        bm = txt.count(f"f32[{batch},{n}]")
-        fm = txt.count(f"f32[{n},{batch}]")
+        """Count the dominant intermediate orientations in the OPTIMIZED
+        HLO (``.compile().as_text()`` — post-layout/fusion, printed in HLO
+        text shape syntax ``f32[4096,100]``; the pre-compile ``.lower()``
+        text is StableHLO MLIR whose ``tensor<4096x100xf32>`` syntax the
+        old counts silently missed).  The element-type token follows the
+        probe's actual dtype (f64 on CPU)."""
+        txt = jax.jit(f).lower(arg).compile().as_text()
+        dt = "f32" if dtype == jnp.float32 else "f64"
+        bm = txt.count(f"{dt}[{batch},{n}]")
+        fm = txt.count(f"{dt}[{n},{batch}]")
         print(f"{tag}: HLO [B,n] sites={bm}  [n,B] sites={fm}", flush=True)
 
     def timed(f, arg, tag):

@@ -99,3 +99,101 @@ def test_lbfgsb_sharded_collective_budget():
     # state), the BOXCQP middle-matrix reductions and the projected-grad
     # pmax / step_max pmin. Current footprint: 27 all-reduce ops.
     assert total <= 27, (total, counts)
+
+
+def test_lbfgs_rinv_collective_budget_matches_sweeps():
+    """``direction="rinv"`` maintains/applies R^{-1} on replicated [m, m]
+    state, so its collective footprint must equal the sweeps schedule's
+    (6 all-reduce ops; the feeding inner products ride the same fused
+    psums)."""
+    mesh = _mesh()
+    n = 8 * 16
+    shard = sharding_for(mesh)
+
+    def local_fun(x_local):
+        return jnp.sum((x_local - 1.0) ** 2) + 0.1 * jnp.sum(x_local ** 4)
+
+    x0 = jax.device_put(jnp.zeros(n), shard)
+    p = LBFGSParams(epsilon=1e-8, max_iterations=50)
+
+    c_sweeps = _collective_counts(
+        lambda x: minimize_sharded(local_fun, x, p, mesh=mesh), x0)
+    c_rinv = _collective_counts(
+        lambda x: minimize_sharded(local_fun, x, p, mesh=mesh,
+                                   direction="rinv"), x0)
+    assert sum(c_rinv.values()) == sum(c_sweeps.values()), (c_rinv, c_sweeps)
+    assert c_rinv.get("all-gather", 0) == 0, c_rinv
+
+
+def test_lbfgsb_walk_chunked_collective_budget():
+    """The K-chunked segment walk trades K-fold local work for a K-fold
+    cut in collective ROUNDS; its static op count must not exceed the
+    plain walk's (27 all-reduce)."""
+    mesh = _mesh()
+    n = 8 * 16
+    shard = sharding_for(mesh)
+
+    def local_fun(x_local):
+        return jnp.sum((x_local - 3.0) ** 2)
+
+    x0 = jax.device_put(jnp.full(n, 2.5), shard)
+    lb = jax.device_put(jnp.full(n, 2.0), shard)
+    ub = jax.device_put(jnp.full(n, 4.0), shard)
+    p = LBFGSBParams(epsilon=1e-8, max_iterations=50)
+
+    counts = _collective_counts(
+        lambda x, l, u: minimize_b_sharded(local_fun, x, l, u, p, mesh=mesh,
+                                           gcp="walk_chunked"), x0, lb, ub)
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("all-gather", 0) == 0, counts
+    assert sum(counts.values()) <= 27, counts
+
+
+def test_owlqn_sharded_collective_budget():
+    """Sharded OWL-QN: pseudo-gradient + orthant projection add only
+    elementwise work; footprint is 5 all-reduce ops (its backtracking
+    search needs one trial-body psum, one fewer than NW's two)."""
+    from lbfgspp_tpu.parallel.sharded import minimize_owlqn_sharded
+
+    mesh = _mesh()
+    n = 8 * 16
+    shard = sharding_for(mesh)
+
+    def local_fun(x_local):
+        return jnp.sum((x_local - 1.0) ** 2) + 0.1 * jnp.sum(x_local ** 4)
+
+    x0 = jax.device_put(jnp.zeros(n), shard)
+    p = LBFGSParams(epsilon=1e-8, max_iterations=50)
+    counts = _collective_counts(
+        lambda x: minimize_owlqn_sharded(local_fun, x, 0.1, p, mesh=mesh),
+        x0)
+    assert counts.get("all-gather", 0) == 0, counts
+    assert sum(counts.values()) <= 5, counts
+
+
+def test_implicit_diff_cg_collective_budget():
+    """The collective-CG adjoint (backward pass) adds one psum per CG dot
+    on top of the forward solve: 12 all-reduce ops preconditioned, 10
+    unpreconditioned — and no gathers anywhere."""
+    from lbfgspp_tpu.diff import implicit_minimize_sharded
+
+    mesh = _mesh()
+    n = 8 * 16
+    k = n // 8
+    shard = sharding_for(mesh)
+
+    def local_fun_th(x_l, th):
+        i = jax.lax.axis_index("feat")
+        th_l = jax.lax.dynamic_slice_in_dim(th, i * k, k)
+        return jnp.sum(0.5 * (x_l - th_l) ** 2 + 0.1 * (x_l - th_l) ** 4)
+
+    x0 = jax.device_put(jnp.zeros(n), shard)
+    theta = jnp.zeros(n)
+    p = LBFGSParams(epsilon=1e-8, max_iterations=50)
+    for pre, cap in ((True, 12), (False, 10)):
+        counts = _collective_counts(
+            jax.grad(lambda th, pre=pre: jnp.sum(implicit_minimize_sharded(
+                local_fun_th, x0, th, p, mesh=mesh,
+                precondition=pre).x ** 2)), theta)
+        assert counts.get("all-gather", 0) == 0, counts
+        assert sum(counts.values()) <= cap, (pre, counts)

@@ -209,3 +209,57 @@ def test_warm_polish_regime_boundary():
                                polish_warm=warm, direction="rinv")
         q.append(float(np.mean(_maxerr(res.x) <= 1e-4)))
     assert q[0] >= q[1], q  # cold >= warm in the wall regime
+
+
+def test_deep_polish_closes_the_tail():
+    """VERDICT r4 task 1 mechanism: an under-budgeted polish leaves a tail
+    of instances short of the reference's every-run 1e-4 criterion; the
+    straggler-targeted deep df64 stage must close it at a fraction of the
+    batch's cost, reaching q@1e-4 = 1.0."""
+    rng = np.random.default_rng(1)
+    B, n = 64, 100
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    # Budgets tuned so a small tail (1/64 instances) misses the criterion
+    # after main + warm polish — the bench's ~0.05% straggler regime at
+    # test scale.
+    params = LBFGSParams(epsilon=1e-5, max_iterations=150, m=16)
+    base = minimize_batched(rosenbrock, x0s, params, polish_iters=4,
+                            polish_warm=True, direction="rinv")
+    q_base = float(np.mean(_maxerr(base.x) <= 1e-4))
+    assert q_base < 1.0          # the tail exists in this configuration
+
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=4,
+                           polish_warm=True, direction="rinv",
+                           deep_frac=0.05, deep_iters=100)
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
+    # untouched instances are bit-identical to the no-deep run
+    moved = np.any(np.asarray(res.x) != np.asarray(base.x), axis=1)
+    assert moved.sum() <= max(1, int(round(0.05 * B)))
+    # counters accumulate on refined instances only
+    assert int(np.max(np.asarray(res.niter))) >= int(
+        np.max(np.asarray(base.niter)))
+
+
+def test_deep_polish_prefers_unconverged_instances():
+    """Selection is in-band: with k_deep = 1 the single refined instance
+    must be the worst one (unconverged / largest gradient norm)."""
+    from lbfgspp_tpu.batch import deep_polish
+
+    rng = np.random.default_rng(5)
+    B, n = 8, 50
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=60)
+    res = minimize_batched(rosenbrock, x0s, params)
+    # Mirror the selection: unconverged instances first, ordered by
+    # gradient norm descending.
+    gn = np.asarray(res.gnorm, np.float64)
+    unconv = (np.asarray(res.status) == 3) | (np.asarray(res.status) >= 10)
+    assert unconv.any()
+    worst = int(np.flatnonzero(unconv)[np.argmax(gn[unconv])])
+    out = jax.jit(lambda r: deep_polish(rosenbrock, r, params, 1, 40))(res)
+    moved = np.flatnonzero(
+        np.any(np.asarray(out.x) != np.asarray(res.x), axis=1))
+    # the refined slot is the selected worst instance (it may land exactly
+    # on its previous iterate only if already optimal, which this budget
+    # precludes)
+    assert list(moved) == [worst] or moved.size == 0
