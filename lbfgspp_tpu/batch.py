@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .params import LBFGSParams, LBFGSBParams
-from .types import SolveResult, Status, SUCCESS_STATUSES
+from .types import (SolveResult, Status, SUCCESS_STATUSES,
+                    make_fun_and_grad)
 from . import lbfgs, lbfgsb
 
 Array = jax.Array
@@ -172,6 +173,93 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                        niter=res2.niter, nfev=res2.nfev,
                        status=res2.status,
                        history=hist_ops.init_history(n, params.m, x.dtype))
+
+
+def polish_solve_b(fun: Optional[Callable], x0: Array,
+                   lb: Array, ub: Array,
+                   params: LBFGSParams,
+                   iters: int,
+                   *,
+                   fun_and_grad=None,
+                   active_tol: float = 1e-3,
+                   line_search: str = "morethuente",
+                   direction: str = "sweeps") -> SolveResult:
+    """Active-set df64 polish for BOX-constrained f32 solutions.
+
+    An f32 box solve terminates at the f32 objective plateau: near a
+    bound-pinned optimum an x error of ~1e-4 changes fx by less than
+    ``ulp(fx)``, so the past/delta decrease test (LBFGSB.h:218-225)
+    legitimately fires while coordinates are still ~1e-4 off their
+    bounds — invisible to any f32 refinement and to more iterations.
+    This is the box analog of :func:`polish_solve`, via the classic
+    active-set polish:
+
+    1. classify coordinates as active using the converged iterate and
+       gradient signs: at (within ``active_tol`` of) the lower bound
+       with ``g >= 0``, or of the upper bound with ``g <= 0`` —
+       KKT-consistent bound activity;
+    2. pin active coordinates EXACTLY to their bound (for the pinned
+       ``lb == ub`` case both branches agree, Cauchy.h:113-114);
+    3. refine the free coordinates with the unconstrained df64
+       pair-space polish of a masked objective (active coordinates
+       frozen: their pair-gradient is zero, so they cannot move);
+    4. project the result into the box and accept it only where the
+       df64-evaluated objective did not worsen (misclassification
+       safety: a wrongly-pinned coordinate can only lose by the fx
+       test, in which case the original iterate is kept).
+
+    Free coordinates strictly inside the box are refined exactly like
+    the unconstrained polish; a fully-active optimum (every coordinate
+    pinned) resolves in one step to the exact bound vector.
+    """
+    from .utils import doublefloat as dfl
+
+    fg = make_fun_and_grad(fun, fun_and_grad)
+    lb = jnp.broadcast_to(jnp.asarray(lb, x0.dtype), x0.shape)
+    ub = jnp.broadcast_to(jnp.asarray(ub, x0.dtype), x0.shape)
+    fx0, g0 = fg(x0)
+    act_lo = (x0 - lb <= active_tol) & (g0 >= 0.0)
+    act_hi = (ub - x0 <= active_tol) & (g0 <= 0.0) & ~act_lo
+    active = act_lo | act_hi
+    xpin = jnp.where(act_lo, lb, jnp.where(act_hi, ub, x0))
+
+    def raw_masked(z):
+        fx, _ = fg(jnp.where(active, xpin, z))
+        return fx
+
+    # Subtract the df64 objective value at the start point INSIDE the
+    # polished objective, as a two-word (hi, lo) constant pair: the
+    # refinement's decrease (~1e-5 scale) would otherwise vanish under
+    # the f32 rounding of a large absolute objective value (ulp(360) ~
+    # 3e-5) when the pair interpreter emits its float result — the exact
+    # wall this polish exists to break.  In the df64 interpretation the
+    # two subtractions are exact, so the solver line-searches on the
+    # full-resolution df64 decrease.
+    ref = dfl.df64ify(raw_masked, to_native=False)(xpin)
+    chi = jax.lax.stop_gradient(ref.hi)
+    clo = jax.lax.stop_gradient(ref.lo)
+
+    def masked_fun(z):
+        return (raw_masked(z) - chi) - clo
+
+    pol = polish_solve(masked_fun, xpin, params, iters,
+                       line_search=line_search, direction=direction)
+    xp = jnp.minimum(jnp.maximum(pol.x, lb), ub)
+    fxp, gp = fg(xp)
+    # Acceptance must also compare at df64 resolution (the improvement is
+    # sub-ulp in plain f32): evaluate the same shifted objective at both
+    # iterates in df64 — the shifted values are small, so their f32
+    # rounding preserves the comparison.
+    shifted = dfl.df64ify(lambda z: (fg(z)[0] - chi) - clo)
+    better = shifted(xp) <= shifted(x0)
+    x = jnp.where(better, xp, x0)
+    fx = jnp.where(better, fxp, fx0)
+    grad = jnp.where(better, gp, g0)
+    pgnorm = jnp.max(jnp.abs(
+        jnp.minimum(jnp.maximum(x - grad, lb), ub) - x))
+    return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
+                       niter=pol.niter, nfev=pol.nfev + 2,
+                       status=pol.status, history=pol.history)
 
 
 def deep_polish(fun: Optional[Callable], res: SolveResult,

@@ -108,7 +108,8 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
                      axis_name: str = AXIS,
                      local_fun_and_grad: Optional[Callable] = None,
                      line_search: str = "nocedalwright",
-                     direction: str = "sweeps") -> SolveResult:
+                     direction: str = "sweeps",
+                     history_dtype=None) -> SolveResult:
     """L-BFGS with the parameter vector sharded over a 1-D mesh.
 
     ``x0`` is the global [n] vector (n divisible by the mesh size); the
@@ -119,7 +120,9 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
     the compact-form R^{-1} two-loop; its maintenance and application work
     entirely on the replicated [m]/[m, m] state (the feeding inner products
     already ride the fused psums), so the collective count per iteration is
-    unchanged.
+    unchanged.  ``history_dtype`` (e.g. ``jnp.bfloat16``) stores the shard-
+    local (s, y) rows at reduced precision — halves the dominant HBM
+    streams for huge-n runs (see PERF.md "Mixed-precision history").
     """
     from ..lbfgs import minimize as _minimize
 
@@ -130,7 +133,7 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
     def solve_local(x0_local):
         return _minimize(fun_and_grad=fg, x0=x0_local, params=params,
                          line_search=line_search, axis_name=axis_name,
-                         direction=direction)
+                         direction=direction, history_dtype=history_dtype)
 
     shmapped = jax.shard_map(solve_local, mesh=mesh,
                              in_specs=P(axis_name),

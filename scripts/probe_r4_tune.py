@@ -1,0 +1,86 @@
+"""Round-4 frontier sweep: (main iters, polish, k_deep, deep_iters) at
+the every-run quality bar.
+
+The deep stage guarantees q@1e-4 = 1.0000 whenever it covers every
+polish-unconverged instance, which relaxes the main/polish budgets the
+pre-deep frontier was tuned for.  Sweep for the fastest configuration
+that keeps 1.0000.
+
+Usage:
+    cd /root/repo && nohup /opt/venv/bin/python scripts/probe_r4_tune.py \
+        > /tmp/probe_r4_tune.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lbfgspp_tpu import LBFGSParams, lbfgs
+    from lbfgspp_tpu.batch import polish_solve, _merge_polished, deep_polish
+    from lbfgspp_tpu.utils.objectives import rosenbrock
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    batch = int(os.environ.get("PROBE_BATCH", 4096 if on_tpu else 128))
+    n = 100
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
+
+    def build(main_it, pol_it, k_deep, deep_it):
+        params = LBFGSParams(epsilon=1e-5, max_iterations=main_it, m=16)
+
+        def one(x0):
+            res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv")
+            pol = polish_solve(rosenbrock, res.x, params, pol_it,
+                               direction="rinv", warm_history=res.history)
+            return _merge_polished(res, pol)
+
+        def f(xs):
+            res = jax.vmap(one)(xs)
+            return deep_polish(rosenbrock, res, params, k_deep, deep_it,
+                               direction="rinv")
+        return jax.jit(f)
+
+    grid = [
+        (162, 5, 512, 60),     # run-2 shipped
+        (162, 5, 320, 60),
+        (150, 4, 512, 60),
+        (150, 4, 768, 60),
+        (144, 4, 768, 60),
+        (150, 5, 384, 40),
+    ]
+    for main_it, pol_it, k_deep, deep_it in grid:
+        f = build(main_it, pol_it, k_deep, deep_it)
+        res = f(x0s)
+        np.asarray(res.fx)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            res = f(x0s)
+            np.asarray(res.fx)
+        dt = time.perf_counter() - t0
+        xn = np.asarray(res.x, np.float64)
+        err = np.max(np.abs(xn - 1.0), axis=1)
+        q = float(np.mean(err <= 1e-4))
+        nfail = int((err > 1e-4).sum())
+        st = np.asarray(res.status)
+        nunconv = int((((st == 3) | (st >= 10))).sum())
+        print(f"main={main_it} pol={pol_it} k={k_deep} deep={deep_it}: "
+              f"{batch * REPS / dt:10,.0f} solves/s  q@1e-4={q:.4f} "
+              f"nfail={nfail} unconv_after={nunconv}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,37 @@ def pastdelta_grid():
             cfg += 1
 
 
+# Line-search failure-path variants (cfg=4700 block):
+# (max_linesearch, min_step, max_step) — see ref_fuzz.cpp for the intent
+# of each variant.
+LSFAIL_VARIANTS = ((1, 1e-20, 1e20), (2, 1e-20, 1e20),
+                   (20, 1e-20, 1e-3), (5, 0.3, 0.5))
+# (max_linesearch, max_step) for the L-BFGS-B block (cfg=4800).
+LSFAIL_B_VARIANTS = ((1, 1e20), (3, 1e20), (20, 1e-3))
+
+
+def lsfail_grid():
+    """(cfg_id, n, ls, mls, min_step, max_step) for the cfg=4700 block
+    (adversarial line-search budgets/bounds; epsilon=1e-9, eps_rel=0,
+    max_iterations=400, diagonal quadratics)."""
+    cfg = 4700
+    for n in NS:
+        for mls, mins, maxs in LSFAIL_VARIANTS:
+            for ls in LSES:
+                yield cfg, n, ls, mls, mins, maxs
+                cfg += 1
+
+
+def lsfail_b_grid():
+    """(cfg_id, n, mls, max_step) for the cfg=4800 block (L-BFGS-B,
+    More-Thuente under exhaustion budgets / tiny max_step)."""
+    cfg = 4800
+    for n in NS:
+        for mls, maxs in LSFAIL_B_VARIANTS:
+            yield cfg, n, mls, maxs
+            cfg += 1
+
+
 def _draw_squartic(rng, n):
     c = np.empty(n)
     d = np.empty(n)
@@ -486,6 +517,68 @@ def main():
         print(f"  fx rel diff: max {max(fx_diffs):.3e}")
         for r in rows[:20]:
             print("  MISMATCH", r)
+
+    # cfg=4700/4800 blocks: line-search FAILURE paths (exhaustion,
+    # best-so-far returns, step-boundary exits/throws).
+    by_key_lf = {(r["cfg"], r["rep"]): r
+                 for r in gt.get("lbfgs_lsfail", [])}
+    if by_key_lf:
+        n_thrown_match = n_thrown_miss = n_exact = n_finish_miss = 0
+        for cfg, n, ls, mls, mins, maxs in lsfail_grid():
+            d, b, x0 = make_lbfgs_problems(cfg, n)
+            p = lt.LBFGSParams(epsilon=1e-9, epsilon_rel=0.0,
+                               max_iterations=400, max_linesearch=mls,
+                               min_step=mins, max_step=maxs)
+
+            def solve(dv, bv, x):
+                return lt.minimize(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                   params=p, line_search=ls)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                           jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_lf[(cfg, rep)]
+                st = int(res.status[rep])
+                if ref["niter"] < 0:
+                    if st >= 10:
+                        n_thrown_match += 1
+                    else:
+                        n_thrown_miss += 1
+                elif int(res.niter[rep]) == ref["niter"] and st < 10:
+                    n_exact += 1
+                else:
+                    n_finish_miss += 1
+        total = n_thrown_match + n_thrown_miss + n_exact + n_finish_miss
+        print(f"L-BFGS line-search failure paths: {total} runs — thrown "
+              f"matched {n_thrown_match}, thrown mismatched {n_thrown_miss},"
+              f" finish exact {n_exact}, finish mismatched {n_finish_miss}")
+        print("  (mismatches are last-ulp decrease-floor flips at "
+              "epsilon=1e-9; both sides land within ~2e-16 of the true "
+              "minimum — see tests/test_reference_fuzz.py)")
+
+    by_key_lfb = {(r["cfg"], r["rep"]): r
+                  for r in gt.get("lbfgsb_lsfail", [])}
+    if by_key_lfb:
+        n_exact = n_miss = 0
+        for cfg, n, mls, maxs in lsfail_b_grid():
+            d, b, lb, ub, x0 = make_lbfgsb_problems(cfg, n)
+            p = lt.LBFGSBParams(epsilon=1e-9, epsilon_rel=0.0,
+                                max_iterations=400, max_linesearch=mls,
+                                max_step=maxs)
+
+            def solve(dv, bv, lbv, ubv, x):
+                return lt.minimize_b(fun_and_grad=quad_fg(dv, bv), x0=x,
+                                     lb=lbv, ub=ubv, params=p)
+            res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                           jnp.asarray(lb), jnp.asarray(ub),
+                                           jnp.asarray(x0))
+            for rep in range(REPS):
+                ref = by_key_lfb[(cfg, rep)]
+                if ref["niter"] >= 0 and int(res.niter[rep]) == ref["niter"]:
+                    n_exact += 1
+                else:
+                    n_miss += 1
+        print(f"L-BFGS-B line-search failure paths: {n_exact + n_miss} runs "
+              f"— exact {n_exact}, mismatched {n_miss}")
 
 
 if __name__ == "__main__":

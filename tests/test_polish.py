@@ -263,3 +263,101 @@ def test_deep_polish_prefers_unconverged_instances():
     # on its previous iterate only if already optimal, which this budget
     # precludes)
     assert list(moved) == [worst] or moved.size == 0
+
+
+def test_box_polish_pins_active_set():
+    """VERDICT r4 task 5: the f32 box solve terminates at the f32
+    objective plateau (past/delta fires with coordinates ~1e-4 off
+    their bounds — invisible in fx at ulp(5) resolution); the
+    active-set df64 polish must pin every KKT-consistent bound-active
+    coordinate EXACTLY, closing the x-space criterion to 1.0."""
+    from lbfgspp_tpu.batch import polish_solve_b, minimize_b_batched
+    from lbfgspp_tpu.params import LBFGSBParams
+
+    B, bn = 128, 10
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(2.0, 4.0, (B, bn)), jnp.float32)
+    lb = jnp.full((bn,), 2.0, jnp.float32)
+    ub = jnp.full((bn,), 4.0, jnp.float32)
+    res = minimize_b_batched(rosenbrock, x0s, lb, ub,
+                             LBFGSBParams(epsilon=1e-6, max_iterations=60),
+                             gcp="prefix")
+    xstar = np.tile([2.0, 4.0], bn // 2)
+    err0 = np.max(np.abs(np.asarray(res.x, np.float64) - xstar), axis=1)
+    assert float(np.mean(err0 <= 1e-4)) < 1.0     # the f32 plateau exists
+
+    p = LBFGSParams(epsilon=1e-7, max_iterations=60, m=6)
+    pol = jax.jit(jax.vmap(
+        lambda x: polish_solve_b(rosenbrock, x, lb, ub, p, 4)))(res.x)
+    err = np.max(np.abs(np.asarray(pol.x, np.float64) - xstar), axis=1)
+    assert float(np.mean(err <= 1e-4)) == 1.0
+    # bound-active coordinates land EXACTLY on their bounds
+    assert float(err.max()) == 0.0
+
+
+def test_box_polish_refines_free_coordinates():
+    """The reference box example keeps x[2] unbounded
+    (example-rosenbrock-box.cpp:47-48): the polish must refine the free
+    coordinate in df64 pair space (the improvement is sub-ulp in plain
+    f32 — the shifted-value machinery makes it visible) while leaving
+    pinned coordinates on their bounds."""
+    from lbfgspp_tpu.batch import polish_solve_b
+    from lbfgspp_tpu import minimize_b
+    from lbfgspp_tpu.params import LBFGSBParams
+    from lbfgspp_tpu.utils.objectives import rosenbrock_chained_fg
+
+    n = 25
+    lb = np.full(n, 2.0, np.float32)
+    ub = np.full(n, 4.0, np.float32)
+    lb[2], ub[2] = -np.inf, np.inf
+    x0 = np.full(n, 3.0)
+    x0[0] = x0[1] = 2.0
+    x0[5] = x0[7] = 4.0
+    r32 = minimize_b(fun_and_grad=rosenbrock_chained_fg,
+                     x0=jnp.asarray(x0, jnp.float32),
+                     lb=jnp.asarray(lb), ub=jnp.asarray(ub),
+                     params=LBFGSBParams())
+    r64 = minimize_b(fun_and_grad=rosenbrock_chained_fg,
+                     x0=jnp.asarray(x0, jnp.float64),
+                     lb=jnp.asarray(lb, jnp.float64),
+                     ub=jnp.asarray(ub, jnp.float64),
+                     params=LBFGSBParams())
+    pol = polish_solve_b(None, r32.x, jnp.asarray(lb), jnp.asarray(ub),
+                         LBFGSParams(epsilon=1e-9, max_iterations=40), 20,
+                         fun_and_grad=rosenbrock_chained_fg)
+    before = abs(float(r32.x[2]) - float(r64.x[2]))
+    after = abs(float(pol.x[2]) - float(r64.x[2]))
+    assert after < before / 100.0, (before, after)
+    # box feasibility preserved
+    assert np.all(np.asarray(pol.x) >= lb - 1e-7)
+    assert np.all(np.asarray(pol.x) <= ub + 1e-7)
+
+
+def test_box_polish_misclassification_safety():
+    """An absurd active_tol pins wrongly; the df64 acceptance gate must
+    reject the worsened iterate and keep the original."""
+    from lbfgspp_tpu.batch import polish_solve_b
+    from lbfgspp_tpu import minimize_b
+    from lbfgspp_tpu.params import LBFGSBParams
+    from lbfgspp_tpu.utils.objectives import rosenbrock_chained_fg
+
+    n = 25
+    lb = np.full(n, 2.0, np.float32)
+    ub = np.full(n, 4.0, np.float32)
+    lb[2], ub[2] = -np.inf, np.inf
+    x0 = np.full(n, 3.0)
+    x0[0] = x0[1] = 2.0
+    r32 = minimize_b(fun_and_grad=rosenbrock_chained_fg,
+                     x0=jnp.asarray(x0, jnp.float32),
+                     lb=jnp.asarray(lb), ub=jnp.asarray(ub),
+                     params=LBFGSBParams())
+    pol = polish_solve_b(None, r32.x, jnp.asarray(lb), jnp.asarray(ub),
+                         LBFGSParams(epsilon=1e-9, max_iterations=40), 10,
+                         fun_and_grad=rosenbrock_chained_fg,
+                         active_tol=2.5)
+
+    def f64v(xx):
+        return float(rosenbrock_chained_fg(
+            jnp.asarray(np.asarray(xx, np.float64)))[0])
+
+    assert f64v(pol.x) <= f64v(r32.x) + 1e-9
