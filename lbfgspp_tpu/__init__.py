@@ -25,7 +25,7 @@ from .pytree import minimize_pytree, minimize_b_pytree
 from .stochastic import minimize_stochastic
 from .owlqn import minimize_owlqn
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "LBFGSParams", "LBFGSBParams",

@@ -267,7 +267,8 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
                 *,
                 fun_and_grad=None,
                 line_search: str = "morethuente",
-                direction: str = "sweeps") -> SolveResult:
+                direction: str = "sweeps",
+                selection: str = "gnorm") -> SolveResult:
     """Straggler-targeted deep df64 refinement of a batched result.
 
     The reference's own multistart acceptance bar is *every-run*:
@@ -279,9 +280,16 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
     ``(k_deep / batch) * deep_iters`` iterations-equivalent, negligible
     for k_deep <= 0.5% of the batch.
 
-    Selection is in-band (no oracle): instances that did not converge
-    (iteration cap or line-search failure) rank first, then by gradient
-    norm descending; NaN gradient norms rank as worst.  The selected
+    Selection is in-band (no oracle).  ``selection="gnorm"`` (default):
+    instances that did not converge (iteration cap or line-search
+    failure) rank first, then by gradient norm descending; NaN gradient
+    norms rank as worst.  ``selection="hstep"`` ranks by the
+    quasi-Newton step length ``||H g||`` computed from each instance's
+    carried curvature history — the Newton ESTIMATE OF DISTANCE TO THE
+    OPTIMUM, which separates criterion failures from merely-slow
+    instances far better than the raw gradient norm when the
+    gradient-norm distribution is wide (e.g. a trial-capped cheap main
+    phase; measured on chip, PERF.md round-4).  The selected
     instances are re-polished from their current iterate with a COLD
     df64 restart (:func:`polish_solve` — their previous history stalled
     at the criterion, the regime where rebuilding curvature from clean
@@ -291,15 +299,28 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
     the slowest straggler, not the cap.  One [k, n] gather + one
     scatter per solve — not per iteration.
     """
-    gn = jnp.asarray(res.gnorm, jnp.float32)
-    gn = jnp.where(jnp.isnan(gn), jnp.inf, gn)
-    unconv = (res.status == jnp.int32(Status.MAX_ITERATIONS)) | \
-        (res.status >= jnp.int32(10))
-    batch = gn.shape[0]
-    # Integer composite rank (no float-precision tie collapse): primary =
-    # unconverged-before-converged, secondary = gradient norm descending.
-    rank = jnp.argsort(jnp.argsort(-gn))           # 0 = largest gnorm
-    order = jnp.argsort(jnp.where(unconv, rank, rank + batch))
+    if selection not in ("gnorm", "hstep"):
+        raise ValueError(f"selection must be 'gnorm' or 'hstep', "
+                         f"got {selection!r}")
+    batch = jnp.shape(res.gnorm)[0]
+    if selection == "hstep":
+        from .ops import history as hist_ops
+        tri = direction if direction == "rinv" else "sweeps"
+        est = jax.vmap(lambda h, g: jnp.linalg.norm(
+            hist_ops.apply_hv(h, g, -1.0, tri=tri)))(res.history, res.grad)
+        est = jnp.where(jnp.isnan(est), jnp.inf,
+                        jnp.asarray(est, jnp.float32))
+        order = jnp.argsort(-est)                  # largest ||H g|| first
+    else:
+        gn = jnp.asarray(res.gnorm, jnp.float32)
+        gn = jnp.where(jnp.isnan(gn), jnp.inf, gn)
+        unconv = (res.status == jnp.int32(Status.MAX_ITERATIONS)) | \
+            (res.status >= jnp.int32(10))
+        # Integer composite rank (no float-precision tie collapse):
+        # primary = unconverged-before-converged, secondary = gradient
+        # norm descending.
+        rank = jnp.argsort(jnp.argsort(-gn))       # 0 = largest gnorm
+        order = jnp.argsort(jnp.where(unconv, rank, rank + batch))
     idx = order[:k_deep]
 
     pol = jax.vmap(lambda x0: polish_solve(
@@ -343,7 +364,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      direction: str = "sweeps",
                      polish_warm: bool = False,
                      deep_frac: float = 0.0,
-                     deep_iters: int = 0) -> SolveResult:
+                     deep_iters: int = 0,
+                     deep_selection: str = "gnorm") -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -436,7 +458,8 @@ def minimize_batched(fun: Optional[Callable] = None,
             k_deep = max(1, min(batch, int(round(deep_frac * batch))))
             res = deep_polish(fun, res, params, k_deep, deep_iters,
                               fun_and_grad=fun_and_grad,
-                              line_search=line_search, direction=direction)
+                              line_search=line_search, direction=direction,
+                              selection=deep_selection)
         return res
 
     if use_refine:

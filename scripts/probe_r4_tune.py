@@ -39,31 +39,39 @@ def main():
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), dtype)
 
-    def build(main_it, pol_it, k_deep, deep_it):
-        params = LBFGSParams(epsilon=1e-5, max_iterations=main_it, m=16)
+    def build(main_mls, main_it, pol_it, k_deep, deep_it):
+        # The MAIN phase caps the line search at main_mls trials: under
+        # vmap every iteration pays the BATCH-MAX trial count, so a cap
+        # of 2 with NW's best-so-far exhaustion semantics collapses the
+        # trial loop (+41% measured, probe_iter_breakdown.py) at a
+        # quality cost the full-budget df64 polish/deep phases repay.
+        params = LBFGSParams(epsilon=1e-5, max_iterations=main_it, m=16,
+                             max_linesearch=main_mls)
+        pparams = LBFGSParams(epsilon=1e-5, max_iterations=main_it, m=16)
 
         def one(x0):
             res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv")
-            pol = polish_solve(rosenbrock, res.x, params, pol_it,
+            pol = polish_solve(rosenbrock, res.x, pparams, pol_it,
                                direction="rinv", warm_history=res.history)
             return _merge_polished(res, pol)
 
         def f(xs):
             res = jax.vmap(one)(xs)
-            return deep_polish(rosenbrock, res, params, k_deep, deep_it,
+            return deep_polish(rosenbrock, res, pparams, k_deep, deep_it,
                                direction="rinv")
         return jax.jit(f)
 
-    grid = [
-        (162, 5, 512, 60),     # run-2 shipped
-        (162, 5, 320, 60),
-        (150, 4, 512, 60),
-        (150, 4, 768, 60),
-        (144, 4, 768, 60),
-        (150, 5, 384, 40),
-    ]
-    for main_it, pol_it, k_deep, deep_it in grid:
-        f = build(main_it, pol_it, k_deep, deep_it)
+    import ast
+    grid = ast.literal_eval(os.environ.get("TUNE_GRID", """[
+        (20, 162, 5, 512, 60),
+        (2, 162, 5, 512, 60),
+        (2, 180, 5, 512, 60),
+        (2, 162, 6, 768, 60),
+        (1, 180, 5, 768, 60),
+        (2, 150, 5, 512, 60),
+    ]"""))
+    for main_mls, main_it, pol_it, k_deep, deep_it in grid:
+        f = build(main_mls, main_it, pol_it, k_deep, deep_it)
         res = f(x0s)
         np.asarray(res.fx)
         t0 = time.perf_counter()
@@ -77,7 +85,8 @@ def main():
         nfail = int((err > 1e-4).sum())
         st = np.asarray(res.status)
         nunconv = int((((st == 3) | (st >= 10))).sum())
-        print(f"main={main_it} pol={pol_it} k={k_deep} deep={deep_it}: "
+        print(f"mls={main_mls} main={main_it} pol={pol_it} k={k_deep} "
+              f"deep={deep_it}: "
               f"{batch * REPS / dt:10,.0f} solves/s  q@1e-4={q:.4f} "
               f"nfail={nfail} unconv_after={nunconv}", flush=True)
 

@@ -361,3 +361,40 @@ def test_box_polish_misclassification_safety():
             jnp.asarray(np.asarray(xx, np.float64)))[0])
 
     assert f64v(pol.x) <= f64v(r32.x) + 1e-9
+
+
+def test_deep_polish_hstep_selection():
+    """``selection="hstep"`` ranks by the quasi-Newton step length
+    ||H g|| (Newton estimate of distance to the optimum).  In the
+    trial-capped cheap-main regime both keys rank the failures at the
+    top (measured on chip, PERF.md round-4); the mechanism must select
+    and improve the refinable tail."""
+    from lbfgspp_tpu import lbfgs
+    from lbfgspp_tpu.batch import (polish_solve, _merge_polished,
+                                   deep_polish)
+
+    B, n = 256, 100
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+                         max_linesearch=2)
+    pparams = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+
+    def one(x0):
+        res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv")
+        pol = polish_solve(rosenbrock, res.x, pparams, 5,
+                           direction="rinv", warm_history=res.history)
+        return _merge_polished(res, pol)
+
+    res = jax.jit(jax.vmap(one))(x0s)
+    q0 = float(np.mean(_maxerr(res.x) <= 1e-4))
+    assert q0 < 1.0
+    out = jax.jit(lambda r: deep_polish(
+        rosenbrock, r, pparams, 26, 60, direction="rinv",
+        selection="hstep"))(res)
+    q1 = float(np.mean(_maxerr(out.x) <= 1e-4))
+    assert q1 > q0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="selection"):
+        deep_polish(rosenbrock, res, pparams, 4, 10, selection="bogus")
