@@ -11,13 +11,15 @@ example-rosenbrock-bracketing.cpp:50-54); the box-constrained batched
 metric rides along as ``box_*`` fields so rounds are comparable on both
 solver families.
 
-Three-phase headline solve: f32 main phase (m=16, 162 iterations) + 5
-WARM-STARTED df64 pair-polish iterations (utils/doublefloat.py) + a
-straggler-targeted deep df64 stage (batch.deep_polish) that gives only
-the hardest ~0.4% of instances a 60-iteration cold-df64 budget —
-recovers the reference's double-precision solution quality on f32
-hardware and closes the last ~0.05% to the reference's EVERY-RUN
-multistart criterion.  The enlarged history (m=16 vs the reference default 6) cuts
+Three-phase headline solve: f32 main phase (m=16, 162 iterations,
+line search capped at 4 trials — under vmap every iteration pays the
+batch-MAX trial count, so the cap collapses the trial loop; PERF.md
+round-4) + 5 WARM-STARTED df64 pair-polish iterations at the full trial
+budget (utils/doublefloat.py) + a straggler-targeted deep df64 stage
+(batch.deep_polish) covering every polish-unconverged instance with a
+60-iteration cold-df64 budget — recovers the reference's
+double-precision solution quality on f32 hardware and meets the
+reference's EVERY-RUN multistart criterion (frac = 1.0000).  The enlarged history (m=16 vs the reference default 6) cuts
 the iteration count superlinearly on this objective while the
 per-iteration [2m, n] products stay cheap at n=100; both phases use the
 ``direction="rinv"`` compact-form R^-1 two-loop (3 [m, m] matvecs per
@@ -64,7 +66,16 @@ def main():
     # ONLY the hardest k_deep instances — this is what closes the last
     # ~0.05% to the reference's every-run criterion at negligible cost
     # (k_deep/batch * deep_iters ~ 0.2 iteration-equivalents).
-    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+    # The MAIN phase caps the line search at 4 trials: under vmap every
+    # iteration pays the BATCH-MAX trial count (not the 1.2-eval mean),
+    # and capping it collapses the trial loop for ~+20% throughput
+    # (mls=2 buys +41% but breaks a 0.3% tail of mid-valley instances
+    # beyond what the deep budget repairs; mls=4 measures 1.0000 —
+    # round-4 frontier table in PERF.md).  The df64 polish/deep phases
+    # keep the reference's full trial budget.
+    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+                         max_linesearch=4 if on_tpu else 20)
+    pol_params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
     polish_iters = 5
     direction = "rinv"
     # k_deep must cover every instance the 5-iteration polish leaves
@@ -78,7 +89,7 @@ def main():
     def solve_one(x0):
         res = lbfgs.minimize(rosenbrock, x0, params, direction=direction)
         if on_tpu:
-            pol = polish_solve(rosenbrock, res.x, params, polish_iters,
+            pol = polish_solve(rosenbrock, res.x, pol_params, polish_iters,
                                direction=direction,
                                warm_history=res.history)
             res = _merge_polished(res, pol)
@@ -87,8 +98,8 @@ def main():
     def solve_batch(xs):
         res = jax.vmap(solve_one)(xs)
         if on_tpu:
-            res = deep_polish(rosenbrock, res, params, k_deep, deep_iters,
-                              direction=direction)
+            res = deep_polish(rosenbrock, res, pol_params, k_deep,
+                              deep_iters, direction=direction)
         return res
 
     solve = jax.jit(solve_batch)
@@ -160,8 +171,9 @@ def main():
     box_fx_ok = float(np.mean(bfx <= 5.0 + 1e-3))
 
     it = params.max_iterations
-    phase = (f"main m={params.m} {it} it + warm df64 polish {polish_iters} "
-             f"+ deep df64 {deep_iters} on worst {k_deep}, rinv" if on_tpu
+    phase = (f"main m={params.m} {it} it mls=4 + warm df64 polish "
+             f"{polish_iters} + deep df64 {deep_iters} on worst {k_deep}, "
+             f"rinv" if on_tpu
              else f"main m={params.m} {it} it, no polish (cpu)")
     print(json.dumps({
         "metric": f"batched Rosenbrock n={n} L-BFGS solves/s/chip "

@@ -115,7 +115,22 @@ def solver(fun: Optional[Callable] = None,
     incrementally and applies it with three [m, m] matvecs — the same
     direction up to reassociation rounding, measurably faster for batched
     throughput mode (PERF.md).
+
+    .. warning:: ``direction="rinv"`` with LARGE histories degrades f32
+       solution quality: the R^{-1} maintenance conditions like the Gram
+       matrix, and at m=24 the measured batched-Rosenbrock acceptance
+       drops to 0.966 (m=32: 0.45) at matched budgets (PERF.md round-3
+       frontier).  m <= 16 is the measured-safe regime in f32; a
+       ``UserWarning`` fires above it.
     """
+    if direction == "rinv" and params.m >= 24:
+        import warnings
+        warnings.warn(
+            f"direction='rinv' with m={params.m} >= 24 has a measured f32 "
+            f"solution-quality cliff (batched acceptance 0.966 at m=24, "
+            f"0.45 at m=32 — PERF.md round-3 frontier); use m <= 16 in "
+            f"f32, or direction='sweeps' for large histories",
+            UserWarning, stacklevel=2)
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)
     fpast = params.past

@@ -39,7 +39,13 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    log2ns = (27, 26) if on_tpu else (20,)
+    # 2^26 and 2^27 fit the v5e's 16 GB HBM with bf16 history (3.2 GB
+    # history + ~8 n-vector f32 carries at 2^27), but the axon REMOTE
+    # COMPILE HELPER rejects programs with >= 2^26-element buffers
+    # (tpu_compile_helper subprocess exit 1 within seconds — an AOT
+    # compiler-side limit of this harness, not a chip limit).  The
+    # largest n measurable through this tunnel is 2^25.
+    log2ns = (27, 26, 25) if on_tpu else (20,)
     m = 6
     K1, K2 = 6, 16
 
