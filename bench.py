@@ -78,16 +78,24 @@ def main():
     pol_params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
     polish_iters = 5
     direction = "rinv"
-    # k_deep must cover every instance the 5-iteration polish leaves
-    # unconverged (~5% of the batch; the x-criterion failures hide among
-    # them with mid-pack gradient norms, measured in
-    # scripts/probe_r4_quality.py) — deep-converging ALL of them to the
+    # k_deep covers every near-criterion straggler the polish leaves
+    # (the x-criterion failures carry mid-pack gradient norms; 3/16 of
+    # the batch bounds their measured selection ranks across seeds —
+    # scripts/probe_seed_robustness.py) — deep-converging them to the
     # gnorm criterion certifies the x criterion via the Hessian bound.
-    k_deep = max(4, batch // 8)
+    k_deep = max(4, 3 * batch // 16)
     deep_iters = 60
 
     def solve_one(x0):
-        res = lbfgs.minimize(rosenbrock, x0, params, direction=direction)
+        # on_ls_fail="restart": the trial-capped search occasionally
+        # fails MID-VALLEY on hard instances; stopping there (the
+        # reference semantics) would idle the instance for the rest of
+        # the budget and hand a poisoned history to the polish — the
+        # restart continues from a curvature reset instead.  Measured:
+        # this + the k_deep coverage gives frac = 1.0000 on every
+        # probed seed (PERF.md round-4 robustness).
+        res = lbfgs.minimize(rosenbrock, x0, params, direction=direction,
+                             on_ls_fail="restart" if on_tpu else "stop")
         if on_tpu:
             pol = polish_solve(rosenbrock, res.x, pol_params, polish_iters,
                                direction=direction,
@@ -140,7 +148,7 @@ def main():
     # bounds: ulp(5) ~ 5e-7 hides that error in fx).  The active-set
     # df64 polish (batch.polish_solve_b) pins KKT-consistent bound-active
     # coordinates exactly and refines free ones in pair space.
-    bpol_params = dataclasses.replace(params, epsilon=1e-7, m=6)
+    bpol_params = dataclasses.replace(pol_params, epsilon=1e-7, m=6)
 
     def bsolve_one(x0):
         res = sb.finalize(sb.run(sb.init(x0)))

@@ -365,7 +365,8 @@ def minimize_batched(fun: Optional[Callable] = None,
                      polish_warm: bool = False,
                      deep_frac: float = 0.0,
                      deep_iters: int = 0,
-                     deep_selection: str = "gnorm") -> SolveResult:
+                     deep_selection: str = "gnorm",
+                     on_ls_fail: str = "stop") -> SolveResult:
     """Solve one objective from a batch of starts ``x0s [B, n]``.
 
     Returns a :class:`SolveResult` with a leading batch axis on every
@@ -472,7 +473,8 @@ def minimize_batched(fun: Optional[Callable] = None,
         p2 = dataclasses.replace(
             params, max_iterations=params.max_iterations + refine_iters)
         s2 = lbfgs.solver(fun, p2, fun_and_grad=fun_and_grad,
-                          line_search=line_search, direction=direction)
+                          line_search=line_search, direction=direction,
+                          on_ls_fail=on_ls_fail)
 
         def f(xs):
             res = jax.vmap(s2.finalize)(_compact_refine(
@@ -480,7 +482,8 @@ def minimize_batched(fun: Optional[Callable] = None,
             return post(res)
     else:
         s1 = lbfgs.solver(fun, params, fun_and_grad=fun_and_grad,
-                          line_search=line_search, direction=direction)
+                          line_search=line_search, direction=direction,
+                          on_ls_fail=on_ls_fail)
 
         def solve_one(x0):
             st = s1.init(x0)

@@ -96,7 +96,8 @@ def solver(fun: Optional[Callable] = None,
            line_search="nocedalwright",
            axis_name: Optional[str] = None,
            history_dtype=None,
-           direction: str = "sweeps") -> Solver:
+           direction: str = "sweeps",
+           on_ls_fail: str = "stop") -> Solver:
     """Build the L-BFGS ``init/step/finalize`` triple.
 
     ``minimize`` is ``finalize(run(init(x0)))``; checkpointed runs call
@@ -116,6 +117,20 @@ def solver(fun: Optional[Callable] = None,
     direction up to reassociation rounding, measurably faster for batched
     throughput mode (PERF.md).
 
+    ``on_ls_fail`` selects what a line-search FAILURE does.  ``"stop"``
+    (default) terminates the instance with the failure's Status code —
+    the reference's semantics (its searches throw,
+    LineSearchNocedalWright.h:263-267; the throw becomes a status).
+    ``"restart"`` is a greenfield robustification for budgeted batch
+    phases: the failed trial is kept only if it is finite and does not
+    increase f (else the pre-search iterate is restored), the curvature
+    history is RESET, and the instance continues from steepest descent
+    with the remaining iteration budget — a failed search no longer
+    idles the instance for the rest of a fixed-budget phase or leaves a
+    poisoned history to the polish stages.  Requires a finite
+    ``params.max_iterations`` (a permanently-failing instance would
+    otherwise loop forever).
+
     .. warning:: ``direction="rinv"`` with LARGE histories degrades f32
        solution quality: the R^{-1} maintenance conditions like the Gram
        matrix, and at m=24 the measured batched-Rosenbrock acceptance
@@ -123,6 +138,13 @@ def solver(fun: Optional[Callable] = None,
        frontier).  m <= 16 is the measured-safe regime in f32; a
        ``UserWarning`` fires above it.
     """
+    if on_ls_fail not in ("stop", "restart"):
+        raise ValueError(f"on_ls_fail must be 'stop' or 'restart', "
+                         f"got {on_ls_fail!r}")
+    if on_ls_fail == "restart" and params.max_iterations == 0:
+        raise ValueError("on_ls_fail='restart' requires a finite "
+                         "params.max_iterations (a permanently-failing "
+                         "instance would loop forever)")
     if direction == "rinv" and params.m >= 24:
         import warnings
         warnings.warn(
@@ -185,21 +207,33 @@ def solver(fun: Optional[Callable] = None,
         ls = search(fg, params, xp, c.drt, params.max_step, c.step, c.fx,
                     c.grad, dg, axis_name=axis_name)
         nfev = c.nfev + ls.nfev
-        gnorm = coll.pnorm(ls.grad, axis_name)
 
         ls_fail = ls.status != jnp.int32(Status.RUNNING)
 
+        if on_ls_fail == "restart":
+            # Keep the failed search's point only if it is finite and no
+            # worse; otherwise restore the pre-search iterate.  The
+            # instance does NOT stop on failure (see solver docstring).
+            accept = (~ls_fail) | (jnp.isfinite(ls.fx) & (ls.fx <= c.fx))
+            x_new = jnp.where(accept, ls.x, xp)
+            fx_new = jnp.where(accept, ls.fx, c.fx)
+            grad_new = jnp.where(accept, ls.grad, gradp)
+        else:
+            x_new, fx_new, grad_new = ls.x, ls.fx, ls.grad
+        gnorm = coll.pnorm(grad_new, axis_name)
+
         # Convergence test: gradient (LBFGS.h:137-140)
         conv_grad = (gnorm <= params.epsilon) | \
-            (gnorm <= params.epsilon_rel * coll.pnorm(ls.x, axis_name))
+            (gnorm <= params.epsilon_rel * coll.pnorm(x_new, axis_name))
 
         # Convergence test: objective decrease (LBFGS.h:142-149)
         if fpast > 0:
             fxd = c.fx_ring[c.k % fpast]
             conv_past = (c.k >= fpast) & \
-                (jnp.abs(fxd - ls.fx) <= params.delta *
-                 jnp.maximum(jnp.maximum(jnp.abs(ls.fx), jnp.abs(fxd)), 1.0))
-            fx_ring = c.fx_ring.at[c.k % fpast].set(ls.fx)
+                (jnp.abs(fxd - fx_new) <= params.delta *
+                 jnp.maximum(jnp.maximum(jnp.abs(fx_new), jnp.abs(fxd)),
+                             1.0))
+            fx_ring = c.fx_ring.at[c.k % fpast].set(fx_new)
         else:
             conv_past = jnp.zeros((), bool)
             fx_ring = c.fx_ring
@@ -208,29 +242,59 @@ def solver(fun: Optional[Callable] = None,
         max_iter = (params.max_iterations != 0) & \
             (c.k >= params.max_iterations)
 
-        done = ls_fail | conv_grad | conv_past | max_iter
-        status = jnp.where(
-            ls_fail, ls.status,
-            jnp.where(conv_grad, jnp.int32(Status.CONVERGED_GRAD),
-                      jnp.where(conv_past, jnp.int32(Status.CONVERGED_DELTA),
-                                jnp.where(max_iter,
-                                          jnp.int32(Status.MAX_ITERATIONS),
-                                          jnp.int32(Status.RUNNING)))))
+        if on_ls_fail == "restart":
+            done = conv_grad | conv_past | max_iter
+            status = jnp.where(
+                conv_grad, jnp.int32(Status.CONVERGED_GRAD),
+                jnp.where(conv_past, jnp.int32(Status.CONVERGED_DELTA),
+                          jnp.where(max_iter,
+                                    jnp.int32(Status.MAX_ITERATIONS),
+                                    jnp.int32(Status.RUNNING))))
+        else:
+            done = ls_fail | conv_grad | conv_past | max_iter
+            status = jnp.where(
+                ls_fail, ls.status,
+                jnp.where(conv_grad, jnp.int32(Status.CONVERGED_GRAD),
+                          jnp.where(conv_past,
+                                    jnp.int32(Status.CONVERGED_DELTA),
+                                    jnp.where(max_iter,
+                                              jnp.int32(
+                                                  Status.MAX_ITERATIONS),
+                                              jnp.int32(Status.RUNNING)))))
 
         # History update with curvature gate (LBFGS.h:159-162); gate and
         # ring-buffer/Gram writes share one fused product (one collective).
-        s = ls.x - xp
-        y = ls.grad - gradp
-        hist, _ = hist_ops.update_history(c.hist, s, y, ~done, axis_name)
+        s = x_new - xp
+        y = grad_new - gradp
+        hist, _ = hist_ops.update_history(c.hist, s, y, ~done & ~ls_fail,
+                                          axis_name)
+        if on_ls_fail == "restart":
+            # A failed search resets the curvature model: continue from
+            # steepest descent with first-iteration step 1/||g||
+            # (LBFGS.h:106-108 semantics for the restarted instance).
+            # SOFT reset — only the scalar validity state: every read of
+            # the s/y rows, ys, Grams and rinv is masked by the ring
+            # distance-vs-ncorr validity test (ops/history.py), so
+            # ``ncorr = 0`` (+ ``theta = 1``) makes the stale slot data
+            # unreachable without touching the [2m, n] arrays (a full
+            # tree_select reset measured ~20% of headline throughput).
+            hist = hist._replace(
+                ncorr=jnp.where(ls_fail, jnp.int32(0), hist.ncorr),
+                theta=jnp.where(ls_fail, jnp.ones((), hist.theta.dtype),
+                                hist.theta))
 
         # New direction d = -H g (LBFGS.h:165) and step reset (LBFGS.h:168)
-        drt = hist_ops.apply_hv(hist, ls.grad, -1.0, axis_name,
+        drt = hist_ops.apply_hv(hist, grad_new, -1.0, axis_name,
                                 tri=direction)
+        step_new = jnp.ones((), dtype)
+        if on_ls_fail == "restart":
+            gsafe = jnp.where(gnorm > 0.0, gnorm, 1.0)
+            step_new = jnp.where(ls_fail, 1.0 / gsafe, step_new)
 
         return LBFGSState(
             k=jnp.where(done, c.k, c.k + 1),
-            x=ls.x, fx=ls.fx, grad=ls.grad, gnorm=gnorm, drt=drt,
-            step=jnp.ones((), dtype), hist=hist, fx_ring=fx_ring,
+            x=x_new, fx=fx_new, grad=grad_new, gnorm=gnorm, drt=drt,
+            step=step_new, hist=hist, fx_ring=fx_ring,
             done=done, status=status, nfev=nfev)
 
     def step(c: LBFGSState) -> LBFGSState:
@@ -262,18 +326,22 @@ def minimize(fun: Optional[Callable] = None,
              line_search="nocedalwright",
              axis_name: Optional[str] = None,
              history_dtype=None,
-             direction: str = "sweeps") -> SolveResult:
+             direction: str = "sweeps",
+             on_ls_fail: str = "stop") -> SolveResult:
     """Minimize ``fun`` from ``x0`` with L-BFGS.
 
     Mirrors ``LBFGSSolver::minimize`` (LBFGS.h:79-173).  ``line_search``
     defaults to Nocedal-Wright as in the reference (LBFGS.h:21).  Under
     ``shard_map`` pass the mesh ``axis_name``; every global reduction then
     becomes one collective.  ``history_dtype`` stores the (s, y) rows at
-    reduced precision (see :func:`solver`).
+    reduced precision; ``on_ls_fail="restart"`` continues a failed
+    instance from a curvature reset instead of stopping it (see
+    :func:`solver`).
     """
     s = solver(fun, params, fun_and_grad=fun_and_grad,
                line_search=line_search, axis_name=axis_name,
-               history_dtype=history_dtype, direction=direction)
+               history_dtype=history_dtype, direction=direction,
+               on_ls_fail=on_ls_fail)
     return s.finalize(s.run(s.init(x0)))
 
 

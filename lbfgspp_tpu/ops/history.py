@@ -207,8 +207,16 @@ def _write_correction(hist: LBFGSHistory, s: Array, y: Array, accept: Array,
         # afterwards: no sliding-window rounding accumulation.
         dtype = hist.rinv.dtype
         at_loc = is_loc
-        rz = jnp.where(at_loc[:, None] | at_loc[None, :], 0.0, hist.rinv)
-        c_vec = jnp.where(at_loc, 0.0, sx[:, 0].astype(dtype))  # s_i.y_new
+        # Validity mask over the PRE-WRITE ring: on a healthy history
+        # invalid slots hold zero rows/rinv entries so this is a no-op,
+        # but after a SOFT reset (ncorr zeroed, stale arrays left in
+        # place — the on_ls_fail="restart" path) the stale slot data
+        # must not leak into the new column.
+        dist = (hist.ptr - 1 - slots) % m
+        valid = dist < hist.ncorr
+        live = valid & ~at_loc
+        rz = jnp.where(live[:, None] & live[None, :], hist.rinv, 0.0)
+        c_vec = jnp.where(live, sx[:, 0].astype(dtype), 0.0)  # s_i.y_new
         d_safe = jnp.where(ys != 0, ys, 1.0).astype(dtype)
         col = -(rz @ c_vec) / d_safe
         col = jnp.where(at_loc, 1.0 / d_safe, col)

@@ -277,3 +277,59 @@ class TestLiftHistoryPairs:
             np.testing.assert_allclose(out[:n], base, rtol=1e-10,
                                        atol=1e-12)
             np.testing.assert_allclose(out[n:], 0.0, atol=1e-15)
+
+
+import pytest
+
+class TestSoftReset:
+    """The restart path's SOFT history reset (ncorr=0, theta=1, stale
+    [2m, n] data left in place) must be indistinguishable from a fresh
+    history: every read is masked by the ring-distance validity test."""
+
+    def _filled(self, n=12, m=5, seed=0, with_rinv=False):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        h = H.init_history(n, m, jnp.float64, with_rinv=with_rinv)
+        for _ in range(m + 2):            # wrap the ring
+            s = rng.standard_normal(n)
+            y = s * rng.uniform(0.5, 2.0) + 0.1 * rng.standard_normal(n)
+            if s @ y < 0:
+                y = -y
+            h, _ = H.update_history(h, jnp.asarray(s),
+                                           jnp.asarray(y),
+                                           jnp.asarray(True))
+        return h
+
+    @pytest.mark.parametrize("with_rinv", [False, True])
+    def test_soft_reset_equals_fresh(self, with_rinv):
+        import numpy as np
+        n, m = 12, 5
+        h = self._filled(n, m, with_rinv=with_rinv)
+        soft = h._replace(ncorr=jnp.zeros((), jnp.int32),
+                          theta=jnp.ones((), jnp.float64))
+        fresh = H.init_history(n, m, jnp.float64,
+                                      with_rinv=with_rinv)
+        rng = np.random.default_rng(9)
+        v = jnp.asarray(rng.standard_normal(n))
+        tri = "rinv" if with_rinv else "sweeps"
+        # empty-history H application: -v exactly
+        np.testing.assert_array_equal(
+            np.asarray(H.apply_hv(soft, v, -1.0, tri=tri)),
+            np.asarray(H.apply_hv(fresh, v, -1.0, tri=tri)))
+        # dense accessors agree (theta * I)
+        np.testing.assert_array_equal(np.asarray(H.bmat(soft)),
+                                      np.asarray(H.bmat(fresh)))
+        # a subsequent update on the soft-reset history produces the SAME
+        # OPERATOR as on a fresh one (slot placement may differ — the
+        # ring pointer is untouched — but every masked read agrees)
+        s = jnp.asarray(rng.standard_normal(n))
+        y = s * 1.3
+        h1, _ = H.update_history(soft, s, y, jnp.asarray(True))
+        h2, _ = H.update_history(fresh, s, y, jnp.asarray(True))
+        np.testing.assert_allclose(
+            np.asarray(H.apply_hv(h1, v, -1.0, tri=tri)),
+            np.asarray(H.apply_hv(h2, v, -1.0, tri=tri)),
+            rtol=1e-15)
+        np.testing.assert_allclose(np.asarray(H.hmat(h1)),
+                                   np.asarray(H.hmat(h2)),
+                                   rtol=1e-15)

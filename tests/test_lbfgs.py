@@ -181,3 +181,48 @@ def test_rinv_large_m_guardrail():
                         lt.LBFGSParams(m=16), direction="rinv")
         lt.lbfgs.solver(lambda x: jnp.sum(x * x),
                         lt.LBFGSParams(m=32), direction="sweeps")
+
+
+def test_on_ls_fail_restart():
+    """``on_ls_fail="restart"``: a line-search failure no longer
+    terminates the instance — it restores the better iterate, resets the
+    curvature history, and continues from steepest descent; non-failing
+    instances are bit-identical to the default path."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    import lbfgspp_tpu as lt
+    from lbfgspp_tpu.utils.objectives import rosenbrock
+
+    B, n = 64, 100
+    rng = np.random.default_rng(1)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    p = lt.LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+                       max_linesearch=4)
+    r = jax.jit(jax.vmap(lambda x: lt.minimize(
+        rosenbrock, x, p, direction="rinv")))(x0s)
+    st = np.asarray(r.status)
+    assert (st >= 10).any()          # the f32 floor produces ls failures
+    rr = jax.jit(jax.vmap(lambda x: lt.minimize(
+        rosenbrock, x, p, direction="rinv",
+        on_ls_fail="restart")))(x0s)
+    str_ = np.asarray(rr.status)
+    # no instance reports a line-search failure under restart
+    assert (str_ < 10).all()
+    # instances that never failed are bit-identical
+    ok = st < 10
+    np.testing.assert_array_equal(np.asarray(rr.x)[ok],
+                                  np.asarray(r.x)[ok])
+    # failed instances end no worse (monotone acceptance rule)
+    fails = ~ok
+    assert np.all(np.asarray(rr.fx)[fails] <=
+                  np.asarray(r.fx)[fails] + 1e-6)
+
+    with _pytest.raises(ValueError, match="on_ls_fail"):
+        lt.lbfgs.solver(lambda x: jnp.sum(x * x), lt.LBFGSParams(),
+                        on_ls_fail="retry")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        lt.lbfgs.solver(lambda x: jnp.sum(x * x),
+                        lt.LBFGSParams(max_iterations=0),
+                        on_ls_fail="restart")
