@@ -12,8 +12,9 @@ metric rides along as ``box_*`` fields so rounds are comparable on both
 solver families.
 
 Three-phase headline solve: f32 main phase (m=16, 162 iterations,
-line search capped at 4 trials — under vmap every iteration pays the
-batch-MAX trial count, so the cap collapses the trial loop; PERF.md
+line search capped at 2 trials with on_ls_fail="restart" — under vmap
+every iteration pays the batch-MAX trial count, so the cap collapses
+the trial loop, and the restart makes the low cap safe; PERF.md
 round-4) + 5 WARM-STARTED df64 pair-polish iterations at the full trial
 budget (utils/doublefloat.py) + a straggler-targeted deep df64 stage
 (batch.deep_polish) covering every polish-unconverged instance with a
@@ -66,15 +67,17 @@ def main():
     # ONLY the hardest k_deep instances — this is what closes the last
     # ~0.05% to the reference's every-run criterion at negligible cost
     # (k_deep/batch * deep_iters ~ 0.2 iteration-equivalents).
-    # The MAIN phase caps the line search at 4 trials: under vmap every
+    # The MAIN phase caps the line search at 2 trials: under vmap every
     # iteration pays the BATCH-MAX trial count (not the 1.2-eval mean),
-    # and capping it collapses the trial loop for ~+20% throughput
-    # (mls=2 buys +41% but breaks a 0.3% tail of mid-valley instances
-    # beyond what the deep budget repairs; mls=4 measures 1.0000 —
-    # round-4 frontier table in PERF.md).  The df64 polish/deep phases
-    # keep the reference's full trial budget.
+    # and capping it collapses the trial loop.  Capped searches
+    # occasionally FAIL mid-valley; on_ls_fail="restart" (below) turns
+    # that from a stopped instance into a curvature-reset continuation,
+    # which is what makes the low cap safe (without restart mls=2 breaks
+    # a 0.3% tail; with it, 1.0000 on every probed seed — round-4
+    # frontier in PERF.md).  The df64 polish/deep phases keep the
+    # reference's full trial budget.
     params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
-                         max_linesearch=4 if on_tpu else 20)
+                         max_linesearch=2 if on_tpu else 20)
     pol_params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
     polish_iters = 5
     direction = "rinv"
@@ -179,7 +182,7 @@ def main():
     box_fx_ok = float(np.mean(bfx <= 5.0 + 1e-3))
 
     it = params.max_iterations
-    phase = (f"main m={params.m} {it} it mls=4 + warm df64 polish "
+    phase = (f"main m={params.m} {it} it mls=2+restart + warm df64 polish "
              f"{polish_iters} + deep df64 {deep_iters} on worst {k_deep}, "
              f"rinv" if on_tpu
              else f"main m={params.m} {it} it, no polish (cpu)")
