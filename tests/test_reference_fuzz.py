@@ -453,3 +453,66 @@ def test_lbfgsb_linesearch_failure_paths(gt):
             np.testing.assert_allclose(
                 float(res.fx[rep]), ref["fx"], rtol=1e-10, atol=1e-12,
                 err_msg=f"cfg={cfg} rep={rep}")
+
+
+def test_lbfgsb_f32_behavior_matches_reference(gt):
+    """Scalar=float L-BFGS-B (cfg=3100 block): the GCP/BOXCQP stack at
+    f32 precision on random boxes.  The reference finishes all 64 runs
+    (More-Thuente's best-so-far semantics absorb the f32 floor, as in
+    the f64 failure-path grid); the JAX side must agree closely despite
+    every late branch sitting near the rounding floor.  Measured:
+    47/64 iteration-exact, 15 off-by-one, 2 off-by-two; the final
+    objective agrees to 1e-4 relative on EVERY run."""
+    path = _DIR / "reference_fuzz_f32.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("f32 capture not present")
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgsb_f32", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("f32 box capture not present")
+
+    p = lt.LBFGSBParams(epsilon=1e-4, epsilon_rel=1e-4, max_iterations=500)
+    n_exact = n_near = total = 0
+    for ci, n in enumerate((4, 10)):
+        cfg = 3100 + ci
+        d = np.empty((32, n), np.float32)
+        b = np.empty((32, n), np.float32)
+        lb = np.empty((32, n), np.float32)
+        ub = np.empty((32, n), np.float32)
+        x0 = np.empty((32, n), np.float32)
+        for rep in range(32):
+            rng = fuzz.Rng((cfg << 32) | (rep + 1))
+            for i in range(n):
+                d[rep, i] = np.float32(rng.uniform(0.5, 10.0))
+            for i in range(n):
+                b[rep, i] = np.float32(rng.uniform(-1.0, 1.0))
+            for i in range(n):
+                a = rng.uniform(-1.5, 1.5)
+                w = rng.uniform(0.05, 1.5)
+                lb[rep, i] = np.float32(a - w)
+                ub[rep, i] = np.float32(a + w)
+            for i in range(n):
+                x0[rep, i] = np.float32(rng.uniform(float(lb[rep, i]),
+                                                    float(ub[rep, i])))
+
+        def solve(dv, bv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       jnp.asarray(x0))
+        for rep in range(32):
+            ref = rows[(cfg, rep)]
+            assert ref["niter"] >= 0        # reference never throws here
+            nj = int(res.niter[rep])
+            total += 1
+            n_exact += nj == ref["niter"]
+            n_near += abs(nj - ref["niter"]) <= 2
+            # same minimum on every run, f32-floor tolerance
+            assert abs(float(res.fx[rep]) - ref["fx"]) <= \
+                1e-4 * max(1.0, abs(ref["fx"])), (cfg, rep)
+
+    assert total == 64
+    assert n_exact >= int(0.6 * total), n_exact      # measured 47
+    assert n_near == total, n_near                   # measured 64
