@@ -546,9 +546,21 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        gcp: str = "auto",
                        unroll_subspace: bool = False,
                        drive: str = "while",
-                       middle_solve: str = "gj") -> SolveResult:
+                       middle_solve: str = "gj",
+                       polish_iters: int = 0,
+                       polish_active_tol: float = 1e-3) -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or
     per-instance [B, n].
+
+    ``polish_iters > 0`` appends the active-set df64 polish
+    (:func:`polish_solve_b`) per instance: KKT-consistent bound-active
+    coordinates pin exactly to their bounds and free coordinates refine
+    in df64 pair space — on f32 hardware this closes the f32 objective
+    plateau where the past/delta test fires with coordinates still
+    ~1e-4 off their bounds (the bench's box quality stage; PERF.md
+    round-4).  ``polish_active_tol`` is the bound-activity
+    classification tolerance (misclassification is safe: the df64
+    acceptance gate keeps the original iterate if pinning loses).
 
     ``gcp="auto"`` picks the batched fast path — the prefix-sum GCP
     (all-parallel, no per-breakpoint scan; under ``vmap`` the sequential
@@ -599,7 +611,23 @@ def minimize_b_batched(fun: Optional[Callable] = None,
         st = s.init(x0)
         st = (s.run_fixed(st, params.max_iterations)
               if drive == "fixed" else s.run(st))
-        return s.finalize(st)
+        res = s.finalize(st)
+        if polish_iters:
+            pparams = LBFGSParams(
+                epsilon=min(params.epsilon, 1e-7),
+                max_iterations=max(params.max_iterations, 60),
+                m=params.m)
+            pol = polish_solve_b(fun, res.x, lbi, ubi, pparams,
+                                 polish_iters, fun_and_grad=fun_and_grad,
+                                 active_tol=polish_active_tol)
+            # Iterates from the polish; the BOX solve's own termination
+            # status and matrix state stay authoritative.
+            res = SolveResult(x=pol.x, fx=pol.fx, grad=pol.grad,
+                              gnorm=pol.gnorm,
+                              niter=res.niter + pol.niter,
+                              nfev=res.nfev + pol.nfev,
+                              status=res.status, history=res.history)
+        return res
 
     in_axes = (0, 0, 0) if per_instance else (0, None, None)
     f = jax.vmap(solve_one, in_axes=in_axes)

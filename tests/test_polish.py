@@ -398,3 +398,39 @@ def test_deep_polish_hstep_selection():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="selection"):
         deep_polish(rosenbrock, res, pparams, 4, 10, selection="bogus")
+
+
+def test_minimize_b_batched_polish_option():
+    """``minimize_b_batched(polish_iters=)`` applies the active-set df64
+    polish per instance — the bench's box quality stage as public API —
+    including per-instance [B, n] bounds."""
+    from lbfgspp_tpu.batch import minimize_b_batched
+    from lbfgspp_tpu.params import LBFGSBParams
+
+    B, bn = 64, 10
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(2.0, 4.0, (B, bn)), jnp.float32)
+    lb = jnp.full((bn,), 2.0, jnp.float32)
+    ub = jnp.full((bn,), 4.0, jnp.float32)
+    bp = LBFGSBParams(epsilon=1e-6, max_iterations=60)
+    xstar = np.tile([2.0, 4.0], bn // 2)
+
+    base = minimize_b_batched(rosenbrock, x0s, lb, ub, bp, gcp="prefix")
+    err0 = np.max(np.abs(np.asarray(base.x, np.float64) - xstar), axis=1)
+    assert float(np.mean(err0 <= 1e-4)) < 1.0
+
+    res = minimize_b_batched(rosenbrock, x0s, lb, ub, bp, gcp="prefix",
+                             polish_iters=4)
+    err = np.max(np.abs(np.asarray(res.x, np.float64) - xstar), axis=1)
+    assert float(np.mean(err <= 1e-4)) == 1.0
+    # box status preserved; counters accumulate
+    np.testing.assert_array_equal(np.asarray(res.status),
+                                  np.asarray(base.status))
+    assert np.all(np.asarray(res.nfev) >= np.asarray(base.nfev))
+
+    # per-instance bounds path
+    lb2 = jnp.broadcast_to(lb, (B, bn))
+    ub2 = jnp.broadcast_to(ub, (B, bn))
+    res2 = minimize_b_batched(rosenbrock, x0s, lb2, ub2, bp, gcp="prefix",
+                              polish_iters=4)
+    np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
