@@ -64,9 +64,11 @@ def main():
     # straggler-targeted deep df64 refinement ---
     # Three phases (PERF.md frontier): f32 main (m=16, rinv), 5 warm df64
     # polish iterations for the 99.9%, then a deep cold-df64 budget for
-    # ONLY the hardest k_deep instances — this is what closes the last
-    # ~0.05% to the reference's every-run criterion at negligible cost
-    # (k_deep/batch * deep_iters ~ 0.2 iteration-equivalents).
+    # the hardest k_deep instances — this is what closes the last ~0.05%
+    # to the reference's every-run criterion.  Cost at the shipped
+    # k_deep = 3*batch/16: ~7% of headline throughput (most selected
+    # instances converge in a few df64 iterations; the while exits
+    # early), measured in the round-4 frontier sweeps.
     # The MAIN phase caps the line search at 2 trials: under vmap every
     # iteration pays the BATCH-MAX trial count (not the 1.2-eval mean),
     # and capping it collapses the trial loop.  Capped searches

@@ -257,8 +257,11 @@ def polish_solve_b(fun: Optional[Callable], x0: Array,
     grad = jnp.where(better, gp, g0)
     pgnorm = jnp.max(jnp.abs(
         jnp.minimum(jnp.maximum(x - grad, lb), ub) - x))
+    # nfev: the inner polish's count + this wrapper's five evaluations
+    # (fg(x0), the df64 reference at xpin, the two shifted df64
+    # acceptance evals, fg(xp)).
     return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
-                       niter=pol.niter, nfev=pol.nfev + 2,
+                       niter=pol.niter, nfev=pol.nfev + 5,
                        status=pol.status, history=pol.history)
 
 
@@ -358,6 +361,7 @@ def minimize_batched(fun: Optional[Callable] = None,
                      mesh=None,
                      batch_axis: str = "batch",
                      polish_iters: int = 0,
+                     polish_params: Optional[LBFGSParams] = None,
                      refine_frac: float = 0.0,
                      refine_iters: int = 0,
                      drive: str = "while",
@@ -403,6 +407,12 @@ def minimize_batched(fun: Optional[Callable] = None,
     ``params.max_iterations``; the polish phase (fixed 12 iterations by
     construction) always profits.
 
+    ``polish_params`` supplies a SEPARATE parameter set for the df64
+    polish/deep phases (default: the main ``params``) — required to
+    reproduce the bench headline through this API, whose main phase is
+    trial-capped (``max_linesearch=2`` + ``on_ls_fail="restart"``)
+    while the refinement phases keep the reference's full budgets.
+
     ``deep_frac``/``deep_iters`` enable straggler-targeted deep
     refinement (:func:`deep_polish`) AFTER the polish phase: the hardest
     ``deep_frac`` of instances (unconverged first, then by gradient
@@ -437,16 +447,21 @@ def minimize_batched(fun: Optional[Callable] = None,
                              "compaction (whose stages are while-driven)")
 
     use_deep = deep_frac > 0.0 and deep_iters > 0
+    # The df64 polish/deep phases take their own parameter set: a
+    # trial-capped / restart-mode main phase (the bench headline recipe)
+    # must NOT cap the refinement phases — pass polish_params with the
+    # full reference budgets there.  Default: the main params.
+    pparams = params if polish_params is None else polish_params
 
     def polish_batch(res):
         if polish_warm:
             pol = jax.vmap(lambda xf, h: polish_solve(
-                fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
+                fun, xf, pparams, polish_iters, fun_and_grad=fun_and_grad,
                 line_search=line_search, drive=drive,
                 direction=direction, warm_history=h))(res.x, res.history)
         else:
             pol = jax.vmap(lambda xf: polish_solve(
-                fun, xf, params, polish_iters, fun_and_grad=fun_and_grad,
+                fun, xf, pparams, polish_iters, fun_and_grad=fun_and_grad,
                 line_search=line_search, drive=drive,
                 direction=direction))(res.x)
         return _merge_polished(res, pol)
@@ -457,7 +472,7 @@ def minimize_batched(fun: Optional[Callable] = None,
         if use_deep:
             batch = res.x.shape[0]
             k_deep = max(1, min(batch, int(round(deep_frac * batch))))
-            res = deep_polish(fun, res, params, k_deep, deep_iters,
+            res = deep_polish(fun, res, pparams, k_deep, deep_iters,
                               fun_and_grad=fun_and_grad,
                               line_search=line_search, direction=direction,
                               selection=deep_selection)
@@ -546,7 +561,7 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                        gcp: str = "auto",
                        unroll_subspace: bool = False,
                        drive: str = "while",
-                       middle_solve: str = "gj",
+                       middle_solve=None,
                        polish_iters: int = 0,
                        polish_active_tol: float = 1e-3) -> SolveResult:
     """Box-constrained batch solve; ``lb``/``ub`` are shared [n] bounds or

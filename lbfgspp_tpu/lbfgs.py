@@ -145,13 +145,15 @@ def solver(fun: Optional[Callable] = None,
         raise ValueError("on_ls_fail='restart' requires a finite "
                          "params.max_iterations (a permanently-failing "
                          "instance would loop forever)")
-    if direction == "rinv" and params.m >= 24:
+    if direction == "rinv" and params.m > 16:
         import warnings
         warnings.warn(
-            f"direction='rinv' with m={params.m} >= 24 has a measured f32 "
-            f"solution-quality cliff (batched acceptance 0.966 at m=24, "
-            f"0.45 at m=32 — PERF.md round-3 frontier); use m <= 16 in "
-            f"f32, or direction='sweeps' for large histories",
+            f"direction='rinv' with m={params.m} > 16 is outside the "
+            f"measured-safe f32 regime and has a measured "
+            f"solution-quality cliff at larger m (batched acceptance "
+            f"0.966 at m=24, 0.45 at m=32 — PERF.md round-3 frontier); "
+            f"use m <= 16 in f32, or direction='sweeps' for large "
+            f"histories",
             UserWarning, stacklevel=2)
     fg = make_fun_and_grad(fun, fun_and_grad)
     search = get_line_search(line_search)

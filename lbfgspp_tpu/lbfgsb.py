@@ -113,7 +113,7 @@ def solver(fun: Optional[Callable] = None,
            axis_name: Optional[str] = None,
            gcp: str = "scan",
            unroll_subspace: bool = False,
-           middle_solve: str = "gj"):
+           middle_solve=None):
     """Build the L-BFGS-B ``init/step/finalize`` triple (see
     :func:`lbfgspp_tpu.lbfgs.solver`); bounds are closed over.
 
@@ -130,7 +130,7 @@ def solver(fun: Optional[Callable] = None,
     (identical values; see :func:`..ops.subspace.subspace_minimize`).
 
     ``middle_solve`` selects the 2m x 2m middle-matrix solve: ``"gj"``
-    (default) is the statically-unrolled Gauss-Jordan elimination —
+    is the statically-unrolled Gauss-Jordan elimination —
     algebraically the reference's solve, TPU/vmap-friendly; ``"bkldlt"``
     is the faithful Bunch-Kaufman LDL' with rook pivoting the reference
     factorizes on every correction (BFGSMat.h:52, :143-145, :558;
@@ -319,7 +319,7 @@ def minimize(fun: Optional[Callable] = None,
              line_search="morethuente",
              axis_name: Optional[str] = None,
              gcp: str = "scan",
-             middle_solve: str = "gj") -> SolveResult:
+             middle_solve=None) -> SolveResult:
     """Minimize ``fun`` over the box ``[lb, ub]`` from ``x0`` with L-BFGS-B.
 
     Mirrors ``LBFGSBSolver::minimize`` (LBFGSB.h:117-262).  ``line_search``
@@ -329,7 +329,7 @@ def minimize(fun: Optional[Callable] = None,
     ``gcp`` selects the Cauchy-point implementation (see :func:`solver`;
     use ``"prefix_sorted"`` for large single-instance n).
     ``middle_solve`` routes the 2m x 2m middle-matrix systems:
-    ``"gj"`` (default) or ``"bkldlt"`` (the reference's Bunch-Kaufman,
+    ``"gj"`` or ``"bkldlt"`` (the reference's Bunch-Kaufman,
     see :func:`solver`); a failed factorization surfaces as
     ``SolveResult.numerical_issue``.
     """

@@ -164,7 +164,7 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
                        local_fun_and_grad: Optional[Callable] = None,
                        line_search: str = "morethuente",
                        gcp: str = "walk",
-                       middle_solve: str = "gj") -> SolveResult:
+                       middle_solve=None) -> SolveResult:
     """L-BFGS-B with the parameter vector (and its box bounds) sharded
     over a 1-D mesh.
 

@@ -374,3 +374,18 @@ def test_numerical_issue_latches_through_public_api():
                       nfev=jnp.asarray(1), status=jnp.asarray(1),
                       history=bh2._replace(info=jnp.maximum(bh2.info, info)))
     assert bool(np.asarray(res.numerical_issue))
+
+
+def test_middle_solve_none_falls_through_to_module_flag():
+    """Regression (round-4 review finding): solver-level calls default
+    middle_solve=None, which must fall through to the documented
+    ``USE_BKLDLT`` module flag — an explicit per-call value overrides."""
+    assert bmat._resolve_middle_solve(None) == "gj"
+    old = bmat.USE_BKLDLT
+    try:
+        bmat.USE_BKLDLT = True
+        assert bmat._resolve_middle_solve(None) == "bkldlt"
+        assert bmat._resolve_middle_solve("gj") == "gj"     # override wins
+    finally:
+        bmat.USE_BKLDLT = old
+    assert bmat._resolve_middle_solve("bkldlt") == "bkldlt"

@@ -434,3 +434,22 @@ def test_minimize_b_batched_polish_option():
     res2 = minimize_b_batched(rosenbrock, x0s, lb2, ub2, bp, gcp="prefix",
                               polish_iters=4)
     np.testing.assert_array_equal(np.asarray(res2.x), np.asarray(res.x))
+
+
+def test_minimize_batched_polish_params_reproduces_bench_recipe():
+    """``polish_params`` lets the public API reproduce the bench
+    headline: trial-capped restart main phase + FULL-budget df64
+    polish/deep.  Without it the capped params would leak into the
+    refinement phases."""
+    rng = np.random.default_rng(1)
+    B, n = 64, 100
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    main = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+                       max_linesearch=2)
+    full = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+    res = minimize_batched(rosenbrock, x0s, main, polish_iters=5,
+                           polish_warm=True, direction="rinv",
+                           on_ls_fail="restart",
+                           polish_params=full,
+                           deep_frac=0.19, deep_iters=60)
+    assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
