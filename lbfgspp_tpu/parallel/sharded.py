@@ -109,7 +109,8 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
                      local_fun_and_grad: Optional[Callable] = None,
                      line_search: str = "nocedalwright",
                      direction: str = "sweeps",
-                     history_dtype=None) -> SolveResult:
+                     history_dtype=None,
+                     on_ls_fail: str = "stop") -> SolveResult:
     """L-BFGS with the parameter vector sharded over a 1-D mesh.
 
     ``x0`` is the global [n] vector (n divisible by the mesh size); the
@@ -133,7 +134,8 @@ def minimize_sharded(local_fun: Optional[Callable] = None,
     def solve_local(x0_local):
         return _minimize(fun_and_grad=fg, x0=x0_local, params=params,
                          line_search=line_search, axis_name=axis_name,
-                         direction=direction, history_dtype=history_dtype)
+                         direction=direction, history_dtype=history_dtype,
+                         on_ls_fail=on_ls_fail)
 
     shmapped = jax.shard_map(solve_local, mesh=mesh,
                              in_specs=P(axis_name),

@@ -516,3 +516,59 @@ def test_lbfgsb_f32_behavior_matches_reference(gt):
     assert total == 64
     assert n_exact >= int(0.6 * total), n_exact      # measured 47
     assert n_near == total, n_near                   # measured 64
+
+
+def test_lbfgsb_submin_fallback_bitcompat(gt):
+    """cfg=4900 block: ``max_submin=1/2`` forces the BOXCQP active-set
+    iterations to hit their cap, driving the 3-level fallback
+    (projection -> projected-unconstrained -> unconstrained,
+    SubspaceMin.h:277-295) on nearly every outer iteration — a path the
+    default-parameter fuzz almost never takes.  All 64 runs match the
+    binary's iteration count exactly (reproducible quadratic
+    arithmetic), fx to 1e-12 relative."""
+    path = _DIR / "reference_fuzz.json"
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgsb_submin", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("submin capture not present")
+
+    cfg = 4900
+    for n in (4, 10):
+        for submin in (1, 2):
+            d = np.empty((16, n))
+            b = np.empty((16, n))
+            lb = np.empty((16, n))
+            ub = np.empty((16, n))
+            x0 = np.empty((16, n))
+            for rep in range(16):
+                rng = fuzz.Rng((cfg << 32) | (rep + 1))
+                for i in range(n):
+                    d[rep, i] = rng.uniform(0.5, 10.0)
+                for i in range(n):
+                    b[rep, i] = rng.uniform(-4.0, 4.0)
+                for i in range(n):
+                    a = rng.uniform(-1.0, 1.0)
+                    w = rng.uniform(0.05, 0.8)
+                    lb[rep, i] = a - w
+                    ub[rep, i] = a + w
+                for i in range(n):
+                    x0[rep, i] = rng.uniform(lb[rep, i], ub[rep, i])
+            p = lt.LBFGSBParams(epsilon=1e-6, max_iterations=1000,
+                                max_submin=submin)
+
+            def solve(dv, bv, lbv, ubv, x):
+                return lt.minimize_b(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                                     lb=lbv, ub=ubv, params=p)
+
+            res = jax.jit(jax.vmap(solve))(
+                jnp.asarray(d), jnp.asarray(b), jnp.asarray(lb),
+                jnp.asarray(ub), jnp.asarray(x0))
+            for rep in range(16):
+                ref = rows[(cfg, rep)]
+                assert ref["niter"] >= 0
+                assert int(res.niter[rep]) == ref["niter"], \
+                    (cfg, rep, submin)
+                np.testing.assert_allclose(
+                    float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
+                    err_msg=f"cfg={cfg} rep={rep}")
+            cfg += 1
