@@ -158,7 +158,8 @@ def main():
     def bsolve_one(x0):
         res = sb.finalize(sb.run(sb.init(x0)))
         if on_tpu:
-            res = polish_solve_b(rosenbrock, res.x, lb, ub, bpol_params, 4)
+            res = polish_solve_b(rosenbrock, res.x, lb, ub, bpol_params, 4,
+                                 prior=res)
         return res
 
     bsolve = jax.jit(lambda xs: jax.vmap(bsolve_one)(xs))

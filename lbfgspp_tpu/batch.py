@@ -183,7 +183,8 @@ def polish_solve_b(fun: Optional[Callable], x0: Array,
                    fun_and_grad=None,
                    active_tol: float = 1e-3,
                    line_search: str = "morethuente",
-                   direction: str = "sweeps") -> SolveResult:
+                   direction: str = "sweeps",
+                   prior: Optional[SolveResult] = None) -> SolveResult:
     """Active-set df64 polish for BOX-constrained f32 solutions.
 
     An f32 box solve terminates at the f32 objective plateau: near a
@@ -211,6 +212,14 @@ def polish_solve_b(fun: Optional[Callable], x0: Array,
     Free coordinates strictly inside the box are refined exactly like
     the unconstrained polish; a fully-active optimum (every coordinate
     pinned) resolves in one step to the exact bound vector.
+
+    ``prior``: the preceding BOX solve's :class:`SolveResult` (whose
+    ``x`` is being polished).  When given, the returned counters are
+    CUMULATIVE (``niter``/``nfev`` summed over both phases) and the box
+    solve's termination ``status`` and ``history`` stay authoritative —
+    the polish is an inner unconstrained refinement whose own status is
+    not box-meaningful.  Without it, ``niter``/``nfev``/``status``
+    describe the polish phase only.
     """
     from .utils import doublefloat as dfl
 
@@ -260,6 +269,11 @@ def polish_solve_b(fun: Optional[Callable], x0: Array,
     # nfev: the inner polish's count + this wrapper's five evaluations
     # (fg(x0), the df64 reference at xpin, the two shifted df64
     # acceptance evals, fg(xp)).
+    if prior is not None:
+        return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
+                           niter=prior.niter + pol.niter,
+                           nfev=prior.nfev + pol.nfev + 5,
+                           status=prior.status, history=prior.history)
     return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
                        niter=pol.niter, nfev=pol.nfev + 5,
                        status=pol.status, history=pol.history)
@@ -279,9 +293,15 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
     (example-rosenbrock-bracketing.cpp:50-54).  A two-phase f32+polish
     batch run leaves a ~0.05% tail of instances short of that criterion
     (the polish budget is tuned for the 99.9%); this stage gives ONLY
-    the hardest ``k_deep`` instances a deep df64 budget — cost ~=
-    ``(k_deep / batch) * deep_iters`` iterations-equivalent, negligible
-    for k_deep <= 0.5% of the batch.
+    the hardest ``k_deep`` instances a deep df64 budget.  Worst-case
+    cost ~= ``(k_deep / batch) * deep_iters`` iterations-equivalent —
+    negligible for k_deep <= 0.5% of the batch, and still cheap at the
+    SHIPPED operating point k_deep = 3*batch/16 (~19% of the batch):
+    measured ~7% of headline throughput (PERF.md round-4), because the
+    deep stage is a terminating while-loop and most selected instances
+    converge in a few df64 iterations — the large k buys tail COVERAGE
+    (near-criterion stragglers sit at selection ranks ~600-700 at batch
+    4096), not proportional cost.
 
     Selection is in-band (no oracle).  ``selection="gnorm"`` (default):
     instances that did not converge (iteration cap or line-search
@@ -301,6 +321,15 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
     while-loop over ``k_deep`` instances, so its wall time is bounded by
     the slowest straggler, not the cap.  One [k, n] gather + one
     scatter per solve — not per iteration.
+
+    The returned ``history`` is the main phase's, with the refined
+    slots SOFT-RESET (``ncorr = 0``, ``theta = 1`` — the same validity
+    masking as ``on_ls_fail="restart"``): the deep stage's curvature
+    lives in pair space and does not transfer, so the pre-refinement
+    model no longer corresponds to the refined iterate; the reset makes
+    the stale model unreachable (Hessian accessors on refined slots
+    give ``theta * I``) instead of silently wrong for a subsequent
+    ``warm_history`` polish or ``hstep`` selection.
     """
     if selection not in ("gnorm", "hstep"):
         raise ValueError(f"selection must be 'gnorm' or 'hstep', "
@@ -333,13 +362,17 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
     def scat(a, b):
         return a.at[idx].set(b)
 
+    hist = res.history._replace(
+        ncorr=res.history.ncorr.at[idx].set(0),
+        theta=res.history.theta.at[idx].set(
+            jnp.ones((), res.history.theta.dtype)))
     return SolveResult(
         x=scat(res.x, pol.x), fx=scat(res.fx, pol.fx),
         grad=scat(res.grad, pol.grad), gnorm=scat(res.gnorm, pol.gnorm),
         niter=scat(res.niter, res.niter[idx] + pol.niter),
         nfev=scat(res.nfev, res.nfev[idx] + pol.nfev),
         status=scat(res.status, pol.status),
-        history=res.history)
+        history=hist)
 
 
 def _merge_polished(res: SolveResult, pol: SolveResult) -> SolveResult:
@@ -632,16 +665,12 @@ def minimize_b_batched(fun: Optional[Callable] = None,
                 epsilon=min(params.epsilon, 1e-7),
                 max_iterations=max(params.max_iterations, 60),
                 m=params.m)
-            pol = polish_solve_b(fun, res.x, lbi, ubi, pparams,
+            # prior=res: iterates from the polish, counters cumulative,
+            # the BOX solve's termination status and matrix state stay
+            # authoritative (see polish_solve_b).
+            res = polish_solve_b(fun, res.x, lbi, ubi, pparams,
                                  polish_iters, fun_and_grad=fun_and_grad,
-                                 active_tol=polish_active_tol)
-            # Iterates from the polish; the BOX solve's own termination
-            # status and matrix state stay authoritative.
-            res = SolveResult(x=pol.x, fx=pol.fx, grad=pol.grad,
-                              gnorm=pol.gnorm,
-                              niter=res.niter + pol.niter,
-                              nfev=res.nfev + pol.nfev,
-                              status=res.status, history=res.history)
+                                 active_tol=polish_active_tol, prior=res)
         return res
 
     in_axes = (0, 0, 0) if per_instance else (0, None, None)

@@ -245,6 +245,15 @@ def solver(fun: Optional[Callable] = None,
             (c.k >= params.max_iterations)
 
         if on_ls_fail == "restart":
+            # A failed-search iteration made no (or restored) progress, so
+            # the past/delta test would compare two near-identical fx
+            # values and fire spuriously — a permanently-failing instance
+            # would then terminate CONVERGED_DELTA, a success status
+            # masking the persistent failure.  Suppress the test on
+            # failed iterations; such an instance now correctly reports
+            # MAX_ITERATIONS.  (The default "stop" path and past=0 are
+            # bit-unchanged.)
+            conv_past = conv_past & ~ls_fail
             done = conv_grad | conv_past | max_iter
             status = jnp.where(
                 conv_grad, jnp.int32(Status.CONVERGED_GRAD),

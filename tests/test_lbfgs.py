@@ -226,3 +226,40 @@ def test_on_ls_fail_restart():
         lt.lbfgs.solver(lambda x: jnp.sum(x * x),
                         lt.LBFGSParams(max_iterations=0),
                         on_ls_fail="restart")
+
+
+def test_restart_past_delta_suppressed_on_failed_iterations():
+    """ADVICE r4: under on_ls_fail="restart" with past > 0, a permanently
+    line-search-failing instance writes its unchanged fx into the ring
+    every iteration; without suppression the past/delta test fires and
+    reports CONVERGED_DELTA — a success status masking the persistent
+    failure.  It must report MAX_ITERATIONS instead."""
+    import lbfgspp_tpu as lt
+
+    n = 4
+
+    def flat_fg(x):
+        # Constant objective with a nonzero constant gradient: every
+        # Armijo test fails strictly (fx_new == fx > fx + c1*a*dg), so
+        # the search fails on every iteration, and ||g|| never converges.
+        return jnp.asarray(1.0, x.dtype), jnp.ones_like(x)
+
+    p = lt.LBFGSParams(epsilon=1e-8, max_iterations=25, past=3,
+                       delta=1e-9, max_linesearch=3)
+    res = lt.minimize(fun_and_grad=flat_fg, x0=jnp.zeros(n), params=p,
+                      on_ls_fail="restart")
+    assert int(res.status) == int(Status.MAX_ITERATIONS), \
+        Status(int(res.status))
+    # The default stop path is untouched: it reports the failure status.
+    res_stop = lt.minimize(fun_and_grad=flat_fg, x0=jnp.zeros(n), params=p)
+    assert int(res_stop.status) >= 10, Status(int(res_stop.status))
+    # And a genuinely-converging run under restart+past still reports
+    # its real convergence path (bit-unchanged when no search fails).
+    q = lt.LBFGSParams(epsilon=1e-10, max_iterations=100, past=2,
+                       delta=1e-12)
+    conv = lt.minimize(objectives.rosenbrock, jnp.zeros(8), q,
+                       on_ls_fail="restart")
+    conv_ref = lt.minimize(objectives.rosenbrock, jnp.zeros(8), q)
+    np.testing.assert_array_equal(np.asarray(conv.x),
+                                  np.asarray(conv_ref.x))
+    assert int(conv.status) == int(conv_ref.status)

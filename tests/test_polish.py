@@ -453,3 +453,58 @@ def test_minimize_batched_polish_params_reproduces_bench_recipe():
                            polish_params=full,
                            deep_frac=0.19, deep_iters=60)
     assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
+
+
+def test_deep_polish_soft_resets_refined_history():
+    """ADVICE r4: the deep stage's refined iterates no longer correspond
+    to the pre-refinement curvature history — the returned history must
+    soft-reset the refined slots (ncorr=0, theta=1) so the stale model is
+    unreachable, while untouched slots keep their model bit-identically."""
+    from lbfgspp_tpu.batch import deep_polish
+
+    rng = np.random.default_rng(3)
+    B, n = 16, 20
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-6, max_iterations=40, m=6)
+    base = minimize_batched(rosenbrock, x0s, params)
+    res = deep_polish(rosenbrock, base, params, k_deep=3, deep_iters=30)
+
+    moved = np.any(np.asarray(res.x) != np.asarray(base.x), axis=1)
+    ncorr = np.asarray(res.history.ncorr)
+    theta = np.asarray(res.history.theta)
+    refined = ncorr == 0
+    assert refined.sum() >= moved.sum() and refined.sum() <= 3
+    assert np.all(~moved | refined)          # every moved slot is reset
+    assert np.all(theta[refined] == 1.0)
+    # untouched slots keep the main phase's model bit-identically
+    keep = ~refined
+    np.testing.assert_array_equal(np.asarray(res.history.s)[keep],
+                                  np.asarray(base.history.s)[keep])
+    np.testing.assert_array_equal(ncorr[keep],
+                                  np.asarray(base.history.ncorr)[keep])
+
+
+def test_box_polish_prior_merges_counters():
+    """ADVICE r4: polish_solve_b(prior=) returns CUMULATIVE counters with
+    the box solve's status/history authoritative — what minimize_b_batched
+    previously hand-merged, now available to direct callers (bench.py)."""
+    from lbfgspp_tpu import LBFGSBParams, minimize_b
+    from lbfgspp_tpu.batch import polish_solve_b
+
+    n = 6
+    lb = jnp.full((n,), 2.0)
+    ub = jnp.full((n,), 4.0)
+    x0 = jnp.full((n,), 3.0)
+    box = minimize_b(rosenbrock, x0, lb, ub,
+                     LBFGSBParams(epsilon=1e-6, max_iterations=50))
+    pparams = LBFGSParams(epsilon=1e-8, max_iterations=30, m=6)
+    alone = polish_solve_b(rosenbrock, box.x, lb, ub, pparams, 4)
+    merged = polish_solve_b(rosenbrock, box.x, lb, ub, pparams, 4,
+                            prior=box)
+    np.testing.assert_array_equal(np.asarray(merged.x),
+                                  np.asarray(alone.x))
+    assert int(merged.niter) == int(box.niter) + int(alone.niter)
+    assert int(merged.nfev) == int(box.nfev) + int(alone.nfev)
+    assert int(merged.status) == int(box.status)
+    np.testing.assert_array_equal(np.asarray(merged.history.base.s),
+                                  np.asarray(box.history.base.s))
