@@ -283,3 +283,43 @@ def test_best_result_multistart_selection():
         status=jnp.full_like(res.status, jnp.int32(Status.LS_MAX_LINESEARCH)))
     best4 = best_result(all_bad)
     assert float(best4.fx) == -1e30
+
+
+def test_bench_pipeline_over_mesh_matches_single_device():
+    """VERDICT r4 task 2: the EXACT shipped bench pipeline — trial-capped
+    (max_linesearch=2) rinv main phase with on_ls_fail="restart", warm
+    df64 polish at the full trial budget (polish_params), and the
+    deep_polish stage (k_deep=3B/16, with its cross-shard argsort/gather/
+    scatter) — through minimize_batched(mesh=) on the 8-device mesh.  As
+    with the plain mesh test above, XLA does not promise bit-identical
+    lowering across layouts, so the contract is documented-tolerance
+    equivalence plus the bench's own every-run gate on BOTH runs."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from lbfgspp_tpu.utils.objectives import rosenbrock
+
+    batch, n = 64, 100
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), jnp.float32)
+    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+                         max_linesearch=2)
+    pol_params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+    kw = dict(params=params, polish_params=pol_params, polish_iters=5,
+              polish_warm=True, direction="rinv", on_ls_fail="restart",
+              deep_frac=3 / 16, deep_iters=60)
+
+    ref = minimize_batched(rosenbrock, x0s, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    res = minimize_batched(rosenbrock, x0s, mesh=mesh, **kw)
+    assert res.x.sharding.spec == P("batch")
+
+    # the bench's every-run gate holds on BOTH programs at this scale
+    for r in (ref, res):
+        assert np.max(np.abs(np.asarray(r.x, np.float64) - 1.0)) <= 1e-4
+    # documented-tolerance equivalence between the two compiles
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=2e-4)
+    assert np.all(np.asarray(res.fx) <= 1e-6)
+    # the deep stage ran and soft-reset its refined slots on both
+    assert (np.asarray(ref.history.ncorr) == 0).sum() >= batch * 3 // 16
+    assert (np.asarray(res.history.ncorr) == 0).sum() >= batch * 3 // 16
