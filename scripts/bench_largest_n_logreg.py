@@ -44,42 +44,105 @@ def main():
     shard = sharding_for(mesh)
     n = 1 << log2n
 
-    def local_fg(w_local):
-        # regenerate this shard's design slice from seed per evaluation
-        idx = jax.lax.axis_index("feat")
-        akey = jax.random.fold_in(jax.random.PRNGKey(0), idx)
-        a_local = (jax.random.normal(akey, (rows, w_local.shape[0]),
-                                     jnp.float32) / float(np.sqrt(n)))
-        b = jnp.sign(jax.random.normal(jax.random.PRNGKey(1), (rows,),
-                                       jnp.float32))
-        logits = jax.lax.psum(a_local @ w_local, "feat")
-        z = -b * logits
-        fx = jnp.sum(jnp.logaddexp(0.0, z))
-        dlogit = -b * jax.nn.sigmoid(z)
-        return fx, a_local.T @ dlogit
+    # Row-chunked design-matrix regeneration: at n = 2^27 the full
+    # [rows, n] f32 slice is 4.3 GB and OOMs next to the solver carries,
+    # so the matmul pair runs over row chunks, regenerating each chunk
+    # from its seed in BOTH passes (value and gradient) — peak objective
+    # footprint drops to [chunk, n] at a 2x RNG cost.  chunks=1 is the
+    # original single-shot shape.
+    row_chunks = int(os.environ.get("PROBE_ROW_CHUNKS",
+                                    2 if log2n >= 27 else 1))
+    rc = rows // row_chunks
+
+    def make_local_fg(axis_name):
+        def local_fg(w_local):
+            idx = (jax.lax.axis_index(axis_name)
+                   if axis_name is not None else jnp.int32(0))
+            b = jnp.sign(jax.random.normal(jax.random.PRNGKey(1), (rows,),
+                                           jnp.float32))
+
+            def a_chunk(c):
+                akey = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(0), idx), c)
+                return (jax.random.normal(akey, (rc, w_local.shape[0]),
+                                          jnp.float32) / float(np.sqrt(n)))
+
+            if row_chunks == 1:
+                a_local = a_chunk(0)
+                logits = a_local @ w_local
+                if axis_name is not None:
+                    logits = jax.lax.psum(logits, axis_name)
+                z = -b * logits
+                fx = jnp.sum(jnp.logaddexp(0.0, z))
+                dlogit = -b * jax.nn.sigmoid(z)
+                return fx, a_local.T @ dlogit
+
+            # lax.scan serializes the chunk regenerations — at n = 2^27
+            # the full [rows, n] slice (4.3 GB) cannot be live next to
+            # the solver carries, and a Python-loop form lets the
+            # scheduler overlap chunk lifetimes.
+            def fwd(_, c):
+                return None, a_chunk(c) @ w_local
+
+            _, lg = jax.lax.scan(fwd, None,
+                                 jnp.arange(row_chunks, dtype=jnp.int32))
+            logits = lg.reshape(rows)
+            if axis_name is not None:
+                logits = jax.lax.psum(logits, axis_name)
+            z = -b * logits
+            fx = jnp.sum(jnp.logaddexp(0.0, z))
+            dlogit = -b * jax.nn.sigmoid(z)
+
+            def bwd(g, c):
+                dl = jax.lax.dynamic_slice_in_dim(dlogit, c * rc, rc)
+                return g + a_chunk(c).T @ dl, None
+
+            grad, _ = jax.lax.scan(bwd, jnp.zeros_like(w_local),
+                                   jnp.arange(row_chunks, dtype=jnp.int32))
+            return fx, grad
+        return local_fg
+
+    local_fg = make_local_fg("feat")
 
     x0 = jax.jit(lambda: jnp.zeros((n,), jnp.float32),
                  out_shardings=shard)()
     x0.block_until_ready()
 
-    def timed(k):
+    def timed(k, plain=False):
         p = LBFGSParams(epsilon=0.0, epsilon_rel=0.0, max_iterations=k,
                         m=m)
-        f = jax.jit(lambda x: minimize_sharded(
-            local_fun_and_grad=local_fg, x0=x, params=p, mesh=mesh,
-            history_dtype=jnp.bfloat16))
+        if plain:
+            # 1-device fallback when the shard_map wrapper's buffer
+            # copies OOM: the identical per-shard program with the psum
+            # compiled out (see bench_largest_n.py).
+            from lbfgspp_tpu import lbfgs
+            fg1 = make_local_fg(None)
+            f = jax.jit(lambda x: lbfgs.minimize(
+                fun_and_grad=fg1, x0=x, params=p,
+                history_dtype=jnp.bfloat16))
+        else:
+            f = jax.jit(lambda x: minimize_sharded(
+                local_fun_and_grad=local_fg, x0=x, params=p, mesh=mesh,
+                history_dtype=jnp.bfloat16))
         try:
             res = f(x0)
             fx = float(np.asarray(res.fx))
+            del res
+            t0 = time.perf_counter()
+            res = f(x0)
+            fx = float(np.asarray(res.fx))
+            dt = time.perf_counter() - t0
+            del res
         except Exception as e:
-            print(f"n=2^{log2n}: FAILED ({type(e).__name__}: "
-                  f"{str(e)[:160]})", flush=True)
+            print(f"n=2^{log2n}{' plain' if plain else ' sharded'}: "
+                  f"FAILED ({type(e).__name__}: {str(e)[:160]})",
+                  flush=True)
+            if not plain:
+                return timed(k, plain=True)
             return None
-        t0 = time.perf_counter()
-        res = f(x0)
-        fx = float(np.asarray(res.fx))
-        dt = time.perf_counter() - t0
-        print(f"  n=2^{log2n} K={k}: {dt:.3f} s  fx={fx:.5f}", flush=True)
+        print(f"  n=2^{log2n} K={k}"
+              f"{' (plain)' if plain else ' (sharded)'}: {dt:.3f} s  "
+              f"fx={fx:.5f}", flush=True)
         return dt
 
     t1 = timed(K1)

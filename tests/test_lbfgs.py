@@ -263,3 +263,20 @@ def test_restart_past_delta_suppressed_on_failed_iterations():
     np.testing.assert_array_equal(np.asarray(conv.x),
                                   np.asarray(conv_ref.x))
     assert int(conv.status) == int(conv_ref.status)
+
+
+def test_rosenbrock_split_is_permuted_rosenbrock():
+    """rosenbrock_split is rosenbrock under the interleave permutation
+    (pair i = (x_i, x_{i+n/2})) — same separable problem family, in the
+    TPU-friendly [2, n/2] layout (large-n regime; PERF.md round-5)."""
+    rng = np.random.default_rng(0)
+    n = 64
+    x = jnp.asarray(rng.uniform(-2, 2, n))
+    # interleave: y[2i] = x[i], y[2i+1] = x[i + n/2]
+    y = jnp.stack([x[:n // 2], x[n // 2:]], axis=1).reshape(-1)
+    np.testing.assert_allclose(float(objectives.rosenbrock_split(x)),
+                               float(objectives.rosenbrock(y)), rtol=1e-14)
+    # a solve on the split form converges to all-ones like the original
+    res = minimize(objectives.rosenbrock_split, jnp.zeros(20),
+                   LBFGSParams(epsilon=1e-6, max_iterations=200))
+    assert np.max(np.abs(np.asarray(res.x) - 1.0)) <= 1e-5
