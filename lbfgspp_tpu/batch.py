@@ -106,7 +106,10 @@ def polish_solve(fun: Optional[Callable], x0: Array,
                  line_search: str = "morethuente",
                  drive: str = "while",
                  direction: str = "sweeps",
-                 warm_history=None) -> SolveResult:
+                 warm_history=None,
+                 shift: bool = False,
+                 on_ls_fail: str = "stop",
+                 restarts: int = 1) -> SolveResult:
     """Refine a stalled f32 solution with up to ``iters`` L-BFGS iterations
     in *double-float pair space* (:mod:`.utils.doublefloat`).
 
@@ -142,15 +145,70 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     rounding-scale steps, and a short polish makes MORE progress
     rebuilding curvature from clean df64 measurements than reusing them
     — use the cold restart there.
+
+    ``shift=True`` subtracts the df64 objective value at ``x0`` INSIDE
+    the polished objective, as a two-word (hi, lo) constant pair — the
+    same device :func:`polish_solve_b` uses.  Required whenever the
+    optimum's objective value is LARGE (``f* != 0``): the pair solver's
+    carried fx is f32, so a decrease below ``ulp(f*)`` is invisible to
+    the line search and the polish stalls at the f32 fx-resolution wall
+    ``||g|| ~ sqrt(L * ulp(f*))`` exactly like the main phase (measured
+    round-5 on batched logistic regression: without the shift 80 df64
+    iterations move nothing; with it the same budget converges).  The
+    Rosenbrock-family bench does not need it because ``f* = 0`` — fx
+    resolution improves as instances converge.  Off by default (the
+    shift changes evaluation bit patterns).
+
+    ``restarts > 1`` runs that many sequential COLD-restart chunks of
+    ``iters`` each (each re-shifted at its own start when ``shift``;
+    ``warm_history`` applies to the first chunk only).  Measured
+    round-5 (PERF.md "Does the recipe transfer"): a single long pair
+    polish on transcendental objectives can stall with its search state
+    wedged ~1e-4 above the true floor (300 iterations no progress),
+    while a fresh restart from the same iterate converges in 10 — the
+    same state-reset insight as ``on_ls_fail="restart"``, applied at
+    the chunk boundary.  Converged instances exit each later chunk at
+    the init gnorm test, so extra restarts are cheap once done.
     """
     from .utils import doublefloat as dfl
 
     from .ops import history as hist_ops
 
-    fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
+    if restarts > 1:
+        res = polish_solve(fun, x0, params, iters,
+                           fun_and_grad=fun_and_grad,
+                           line_search=line_search, drive=drive,
+                           direction=direction, warm_history=warm_history,
+                           shift=shift, on_ls_fail=on_ls_fail)
+        niter, nfev = res.niter, res.nfev
+        for _ in range(restarts - 1):
+            nxt = polish_solve(fun, res.x, params, iters,
+                               fun_and_grad=fun_and_grad,
+                               line_search=line_search, drive=drive,
+                               direction=direction, shift=shift,
+                               on_ls_fail=on_ls_fail)
+            niter = niter + nxt.niter
+            nfev = nfev + nxt.nfev
+            res = nxt._replace(niter=niter, nfev=nfev)
+        return res
+
+    if shift:
+        base_fg = make_fun_and_grad(fun, fun_and_grad)
+        ref = dfl.df64ify(lambda z: base_fg(z)[0], to_native=False)(x0)
+        chi = jax.lax.stop_gradient(ref.hi)
+        clo = jax.lax.stop_gradient(ref.lo)
+
+        def shifted_fg(z):
+            fx, g = base_fg(z)
+            return (fx - chi) - clo, g
+
+        fg2 = dfl.df64_pair_fun_and_grad(fun_and_grad=shifted_fg)
+    else:
+        fg2 = dfl.df64_pair_fun_and_grad(fun, fun_and_grad=fun_and_grad)
     pparams = dataclasses.replace(params, max_iterations=iters)
     s = lbfgs.solver(fun_and_grad=fg2, params=pparams,
-                     line_search=line_search, direction=direction)
+                     line_search=line_search, direction=direction,
+                     on_ls_fail=on_ls_fail)
     n = x0.shape[0]
     x2 = jnp.concatenate([x0, jnp.zeros_like(x0)])
     st = s.init(x2)
@@ -163,12 +221,13 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     res2 = s.finalize(st)
     x = dfl.pair_to_float(res2.x)
     grad = res2.grad[:n]
+    fx_out = (res2.fx + clo) + chi if shift else res2.fx
     # The polish solver's curvature pairs live in pair space ([m, 2n]);
     # they are meaningless for the returned [n] iterate, so the result
     # carries a shape-consistent EMPTY history (ncorr=0 -> B = theta*I)
     # rather than a mismatched one.  minimize_batched substitutes the
     # main phase's real history via _merge_polished.
-    return SolveResult(x=x, fx=res2.fx, grad=grad,
+    return SolveResult(x=x, fx=fx_out, grad=grad,
                        gnorm=jnp.linalg.norm(grad),
                        niter=res2.niter, nfev=res2.nfev,
                        status=res2.status,
@@ -285,7 +344,10 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
                 fun_and_grad=None,
                 line_search: str = "morethuente",
                 direction: str = "sweeps",
-                selection: str = "gnorm") -> SolveResult:
+                selection: str = "gnorm",
+                shift: bool = False,
+                on_ls_fail: str = "stop",
+                restarts: int = 1) -> SolveResult:
     """Straggler-targeted deep df64 refinement of a batched result.
 
     The reference's own multistart acceptance bar is *every-run*:
@@ -357,7 +419,9 @@ def deep_polish(fun: Optional[Callable], res: SolveResult,
 
     pol = jax.vmap(lambda x0: polish_solve(
         fun, x0, params, deep_iters, fun_and_grad=fun_and_grad,
-        line_search=line_search, direction=direction))(res.x[idx])
+        line_search=line_search, direction=direction,
+        shift=shift, on_ls_fail=on_ls_fail,
+        restarts=restarts))(res.x[idx])
 
     def scat(a, b):
         return a.at[idx].set(b)
@@ -400,6 +464,9 @@ def minimize_batched(fun: Optional[Callable] = None,
                      drive: str = "while",
                      direction: str = "sweeps",
                      polish_warm: bool = False,
+                     polish_shift: bool = False,
+                     polish_on_ls_fail: str = "stop",
+                     polish_restarts: int = 1,
                      deep_frac: float = 0.0,
                      deep_iters: int = 0,
                      deep_selection: str = "gnorm",
@@ -446,6 +513,20 @@ def minimize_batched(fun: Optional[Callable] = None,
     trial-capped (``max_linesearch=2`` + ``on_ls_fail="restart"``)
     while the refinement phases keep the reference's full budgets.
 
+    **Transferring the bench recipe to other objective families**
+    (measured round-5, PERF.md "Does the recipe transfer"): the phase
+    STRUCTURE transfers, but two family-dependent rules must be applied.
+    (1) *Certificate scaling*: the polish/deep gnorm exit certifies the
+    x-criterion through the optimum's smallest Hessian eigenvalue —
+    set ``polish_params.epsilon ~ 0.1 * lambda_min * tol_x`` and
+    ``epsilon_rel=0`` (the default ``epsilon_rel=1e-5`` otherwise
+    re-loosens the exit for ``||x*|| >> 1``).  (2) *fx-resolution
+    shift*: when ``f* != 0``, pass ``polish_shift=True`` — without it
+    both the f32 main phase AND the pair-space polish stall at
+    ``||g|| ~ sqrt(L * ulp(f*))`` because sub-ulp decreases are
+    invisible to the line search; the Rosenbrock bench never sees this
+    because its ``f* = 0``.
+
     ``deep_frac``/``deep_iters`` enable straggler-targeted deep
     refinement (:func:`deep_polish`) AFTER the polish phase: the hardest
     ``deep_frac`` of instances (unconverged first, then by gradient
@@ -491,12 +572,17 @@ def minimize_batched(fun: Optional[Callable] = None,
             pol = jax.vmap(lambda xf, h: polish_solve(
                 fun, xf, pparams, polish_iters, fun_and_grad=fun_and_grad,
                 line_search=line_search, drive=drive,
-                direction=direction, warm_history=h))(res.x, res.history)
+                direction=direction, warm_history=h,
+                shift=polish_shift,
+                on_ls_fail=polish_on_ls_fail,
+                restarts=polish_restarts))(res.x, res.history)
         else:
             pol = jax.vmap(lambda xf: polish_solve(
                 fun, xf, pparams, polish_iters, fun_and_grad=fun_and_grad,
                 line_search=line_search, drive=drive,
-                direction=direction))(res.x)
+                direction=direction, shift=polish_shift,
+                on_ls_fail=polish_on_ls_fail,
+                restarts=polish_restarts))(res.x)
         return _merge_polished(res, pol)
 
     def post(res):
@@ -508,7 +594,9 @@ def minimize_batched(fun: Optional[Callable] = None,
             res = deep_polish(fun, res, pparams, k_deep, deep_iters,
                               fun_and_grad=fun_and_grad,
                               line_search=line_search, direction=direction,
-                              selection=deep_selection)
+                              selection=deep_selection, shift=polish_shift,
+                              on_ls_fail=polish_on_ls_fail,
+                              restarts=polish_restarts)
         return res
 
     if use_refine:

@@ -77,9 +77,39 @@ def _split_const(dtype) -> float:
     return float(2 ** bits[np.dtype(dtype)] + 1)
 
 
+# The error-free transforms below PIN their rounded result behind a
+# full-width ``lax.reduce_precision`` (a numeric identity XLA keeps as a
+# real op) before using it in the residual formulas.  Without the pin,
+# two compiler behaviors silently destroy the error terms under
+# whole-graph jit (diagnosed round-5; eager per-op dispatch never
+# triggers either, which hid the corruption for four rounds):
+#   1. the HLO algebraic simplifier constant-reassociates
+#      ``(x + c1) - c2 -> x + (c1 - c2)`` — so ``two_sum(1.0, x)``'s
+#      ``bb = s - 1`` folds to ``x`` exactly and the residual collapses
+#      to 0: any EFT chain with a CONSTANT operand (a Taylor series'
+#      leading 1, an objective's literal) loses its lo word
+#      (reproduced identically on CPU and TPU);
+#   2. on CPU, fusion duplication recomputes ``p = a * b`` inside a
+#      consumer where LLVM contracts ``p + e`` into ``fma(a, b, e)`` —
+#      one rounding instead of two, inconsistent with the separately
+#      computed ``p`` in the residual (verified: the corrupted jit
+#      output matches the fma-emulated computation bit-for-bit).
+# ``lax.optimization_barrier`` is NOT sufficient: XLA expands barriers
+# before the fusion/codegen passes where (2) happens.  The pin costs
+# one no-op-strength op per transform; the EFT identities are exact
+# again under jit on both backends (tests/test_doublefloat.py pins
+# jit-vs-exact).
+
+
+def _pin(x: Array) -> Array:
+    bits = {np.dtype(np.float32): (8, 23), np.dtype(np.float64): (11, 52)}
+    e, m = bits[np.dtype(x.dtype)]
+    return jax.lax.reduce_precision(x, e, m)
+
+
 def two_sum(a: Array, b: Array):
     """Error-free sum: a + b = s + err exactly (Knuth)."""
-    s = a + b
+    s = _pin(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
@@ -87,14 +117,14 @@ def two_sum(a: Array, b: Array):
 
 def quick_two_sum(a: Array, b: Array):
     """Error-free sum assuming |a| >= |b| (Dekker)."""
-    s = a + b
+    s = _pin(a + b)
     err = b - (s - a)
     return s, err
 
 
 def two_prod(a: Array, b: Array):
     """Error-free product via Dekker splitting: a * b = p + err exactly."""
-    p = a * b
+    p = _pin(a * b)
     c = _split_const(p.dtype) * a
     ah = c - (c - a)
     al = a - ah
@@ -154,6 +184,116 @@ def to_float(x: DF) -> Array:
     if not jnp.issubdtype(jnp.asarray(x.hi).dtype, jnp.inexact):
         return x.hi           # bool/int words carry no error term
     return x.hi + x.lo
+
+
+# ---------------------------------------------------------------------------
+# transcendentals (round-5: without these, exp/log objectives silently fell
+# back to hi-word evaluation — base-precision — and the df64 polish could
+# not see sub-ulp decreases on them; the logreg/lasso production families
+# are exactly such objectives)
+# ---------------------------------------------------------------------------
+
+import fractions as _fractions
+
+# ln 2 to ~200 bits as an exact rational (a plain Python float only has 53
+# bits, which would cap the f64-pair exp range reduction at ~1e-16).
+_LN2_FRAC = _fractions.Fraction(
+    "0.69314718055994530941723212145817656807550013436025525412068")
+_LN2 = float(_LN2_FRAC)
+
+
+def _const_df(value_fraction, dtype) -> DF:
+    """Split an exact rational constant into a (hi, lo) pair for dtype."""
+    hi = np.asarray(float(value_fraction), dtype).item()
+    lo = np.asarray(float(value_fraction - _fractions.Fraction(hi)),
+                    dtype).item()
+    return DF(jnp.asarray(hi, dtype), jnp.asarray(lo, dtype))
+
+
+def _ln2_pair(dtype) -> DF:
+    return _const_df(_LN2_FRAC, dtype)
+
+
+def _inv_fact_table(dtype, terms):
+    import math
+    return [_const_df(_fractions.Fraction(1, math.factorial(i)), dtype)
+            for i in range(terms + 1)]
+
+
+def exp(x: DF) -> DF:
+    """df exp: range-reduce ``exp(x) = 2^k exp(r)`` with ``r = x - k ln2``
+    (|r| <= ln2/2; the k*ln2 product is pair-exact via ``two_prod``), then
+    the Taylor series in df arithmetic with exact reciprocal-factorial
+    pair constants.  Pair-precision accurate (~2^-47 rel for f32 pairs,
+    ~2^-105 for f64 pairs at 26 terms)."""
+    dt = jnp.asarray(x.hi).dtype
+    ln2 = _ln2_pair(dt)
+    k = jnp.round(x.hi / jnp.asarray(_LN2, dt))
+    r = sub(x, mul(DF(k, jnp.zeros_like(k)), ln2))
+    terms = 14 if dt == np.dtype(np.float32) else 26
+    inv_fact = _inv_fact_table(dt, terms)
+    acc = lift(jnp.ones_like(x.hi))
+    term = lift(jnp.ones_like(x.hi))
+    for i in range(1, terms + 1):
+        term = mul(term, r)
+        c = inv_fact[i]
+        acc = add(acc, mul(term, DF(jnp.broadcast_to(c.hi, term.hi.shape),
+                                    jnp.broadcast_to(c.lo, term.lo.shape))))
+    # exact power of two: XLA's f32 exp2 is a polynomial approximation and
+    # returns e.g. 2^13 = 8192.004 (measured round-5 — a 4.8e-7 error that
+    # would swamp the pair); ldexp scales the exponent field exactly.
+    scale = jnp.ldexp(jnp.ones_like(x.hi), k.astype(jnp.int32))
+    out = DF(acc.hi * scale, acc.lo * scale)
+    # non-finite / extreme inputs: defer to the base exp semantics
+    plain = jnp.exp(x.hi)
+    ok = jnp.isfinite(x.hi) & jnp.isfinite(plain) & (plain > 0)
+    return DF(jnp.where(ok, out.hi, plain),
+              jnp.where(ok, out.lo, jnp.zeros_like(plain)))
+
+
+def log(x: DF) -> DF:
+    """df log: base-precision seed + one Newton step ``y1 = y0 +
+    (x * exp(-y0) - 1)`` — quadratic convergence lands at pair
+    precision."""
+    y0 = jnp.log(x.hi)
+    ok = (x.hi > 0) & jnp.isfinite(y0)
+    y0s = jnp.where(ok, y0, jnp.zeros_like(y0))
+    y = DF(y0s, jnp.zeros_like(y0s))
+    # Two steps: the seed's ~eps_base absolute error leaves ~eps_base^2/2
+    # absolute after one step — still large RELATIVE to small outputs
+    # (log1p near zero); the second step removes it.
+    for _ in range(2):
+        e = exp(neg(y))
+        y = add(y, sub(mul(x, e), lift(jnp.ones_like(y0s))))
+    return DF(jnp.where(ok, y.hi, y0), jnp.where(ok, y.lo, 0.0))
+
+
+def log1p(x: DF) -> DF:
+    # add(1, x) is pair-exact (two_sum keeps the residual in lo), so the
+    # tiny-x cancellation the scalar log1p exists for never happens here.
+    return log(add(lift(jnp.ones_like(x.hi)), x))
+
+
+def expm1(x: DF) -> DF:
+    # exp(x) is pair-accurate near 1, and the df sub is exact — the
+    # classic expm1 cancellation is absorbed by the lo word.
+    return sub(exp(x), lift(jnp.ones_like(x.hi)))
+
+
+def logistic(x: DF) -> DF:
+    return div(lift(jnp.ones_like(x.hi)),
+               add(lift(jnp.ones_like(x.hi)), exp(neg(x))))
+
+
+def tanh(x: DF) -> DF:
+    # (e^{2x} - 1) / (e^{2x} + 1), saturated beyond |x| > 20 where the
+    # result is +-1 to far below pair precision.
+    e2 = exp(add(x, x))
+    one = lift(jnp.ones_like(x.hi))
+    t = div(sub(e2, one), add(e2, one))
+    sat = jnp.abs(x.hi) > 20.0
+    sgn = jnp.sign(x.hi)
+    return DF(jnp.where(sat, sgn, t.hi), jnp.where(sat, 0.0, t.lo))
 
 
 def _tree_fold(x: DF, axis: int) -> DF:
@@ -313,6 +453,20 @@ _ARITH_RULES = {
     "reduce_sum": _rule_reduce_sum,
     "dot_general": _rule_dot_general,
     "select_n": _rule_select_n,
+    # transcendentals (round-5): pair-accurate rules — without them these
+    # primitives fell through to the hi-word fallback and any exp/log
+    # objective lost the df64 polish's sub-ulp resolution entirely
+    "exp": lambda p, a, **kw: exp(a),
+    "log": lambda p, a, **kw: log(a),
+    "log1p": lambda p, a, **kw: log1p(a),
+    "expm1": lambda p, a, **kw: expm1(a),
+    "logistic": lambda p, a, **kw: logistic(a),
+    "tanh": lambda p, a, **kw: tanh(a),
+    "exp2": lambda p, a, **kw: exp(mul(a, _ln2_pair(
+        jnp.asarray(a.hi).dtype))),
+    "log2": lambda p, a, **kw: div(log(a), _ln2_pair(
+        jnp.asarray(a.hi).dtype)),
+    "pow": lambda p, a, b, **kw: exp(mul(b, log(a))),
 }
 
 _CALLS = {"pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",

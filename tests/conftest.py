@@ -12,8 +12,19 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE (round 5): this jaxlib's CPU fusion emitters generate
+# NON-TERMINATING code for df64 graphs with nested transcendental rules
+# (exp depth >= 2) feeding tree reductions — compile succeeds, dispatch
+# returns, the fetch spins forever at 100% CPU.  The workaround flag
+# `--xla_cpu_use_fusion_emitters=false` CANNOT be set suite-wide: the
+# legacy emitters change f64 reduction summation order, flipping
+# bit-parity-pinned trajectories (test_acceptance's 22-iteration README
+# anchor measures 23 under it).  The few tests needing deep
+# transcendental df64 compiles run themselves in a flagged SUBPROCESS
+# (tests/test_polish.py::_run_in_flagged_subprocess).  TPU is
+# unaffected.
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -50,7 +50,14 @@ def test_lbfgs_autoshard_matches_single_device(feat_sharding):
 
     assert int(res.niter) == int(ref.niter)
     assert int(res.status) == int(ref.status)
-    assert bool(jnp.all(res.x == ref.x))
+    # Bit-exact x equality held until round 5's concat-free
+    # correction_products; the GSPMD partitioning of the split einsums
+    # reassociates the Gram reductions, so the sharded trajectory drifts
+    # at rounding scale (niter/status still exactly equal).  XLA does
+    # not promise bit-identical lowering across layouts — tolerance per
+    # test_minimize_batched_over_mesh's documented contract.
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-9)
     # the solution array stays sharded — no implicit gather at the end
     assert res.x.sharding.is_equivalent_to(feat_sharding, res.x.ndim)
 
@@ -69,7 +76,14 @@ def test_lbfgsb_autoshard_matches_single_device(feat_sharding):
 
     assert int(res.niter) == int(ref.niter)
     assert int(res.status) == int(ref.status)
-    assert bool(jnp.all(res.x == ref.x))
+    # Bit-exact x equality held until round 5's concat-free
+    # correction_products; the GSPMD partitioning of the split einsums
+    # reassociates the Gram reductions, so the sharded trajectory drifts
+    # at rounding scale (niter/status still exactly equal).  XLA does
+    # not promise bit-identical lowering across layouts — tolerance per
+    # test_minimize_batched_over_mesh's documented contract.
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=0, atol=1e-9)
 
 
 def test_owlqn_autoshard_matches_single_device(feat_sharding):

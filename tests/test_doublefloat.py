@@ -135,3 +135,100 @@ def test_df64_dot_general():
     want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
     np.testing.assert_allclose(np.asarray(got, np.float64), want,
                                rtol=1e-6, atol=1e-10)
+
+
+def test_df64_transcendental_rules_pair_accuracy():
+    """Round-5: exp/log/log1p/expm1/logistic/tanh/pow have pair-accurate
+    df rules — without them these primitives fell back to hi-word
+    (base-precision) evaluation and any exp/log objective silently lost
+    the polish's sub-ulp resolution (the logreg/lasso production
+    families).  Error metric is scale-floored (|err| / max(|f|, 1)): the
+    quantity that bounds each term's contribution to an objective sum."""
+    import jax.nn
+
+    c01 = np.float64(np.float32(0.01))
+    c17 = np.float64(np.float32(1.7))
+    c05 = np.float64(np.float32(0.5))
+    x32 = jnp.asarray(np.linspace(-10, 10, 81), jnp.float32)
+    cases = [
+        (lambda v: jnp.exp(v), np.exp),
+        (lambda v: jnp.log(jnp.abs(v) + 0.5),
+         lambda v: np.log(np.abs(v) + c05)),
+        (lambda v: jnp.log1p(v * 0.01), lambda v: np.log1p(v * c01)),
+        (lambda v: jnp.expm1(v * 0.01), lambda v: np.expm1(v * c01)),
+        (jax.nn.sigmoid, lambda v: 1 / (1 + np.exp(-v))),
+        (jnp.tanh, np.tanh),
+        (lambda v: jnp.logaddexp(0.0, v), lambda v: np.logaddexp(0.0, v)),
+        (lambda v: (jnp.abs(v) + 0.5) ** 1.7,
+         lambda v: (np.abs(v) + c05) ** c17),
+    ]
+    for fn, ref in cases:
+        out = df.df64ify(fn, to_native=False)(x32)
+        got = (np.asarray(out.hi, np.float64) +
+               np.asarray(out.lo, np.float64))
+        want = ref(np.asarray(x32, np.float64))
+        err = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1.0))
+        assert err < 5e-12, (fn, err)
+
+
+def test_df64_exp_log_f64_pair_identity():
+    """f64 pairs: log(exp(x)) round-trips to far beyond f64 precision
+    (the rules target ~2^-105; an f64-only implementation would sit at
+    ~1e-16)."""
+    x = jnp.asarray(np.linspace(0.1, 30, 31), jnp.float64)
+    d = df.sub(df.log(df.exp(df.lift(x))), df.lift(x))
+    diff = np.abs(np.asarray(d.hi)) + np.abs(np.asarray(d.lo))
+    assert np.max(diff / np.asarray(x)) < 1e-25
+
+
+def test_df64_exp2_of_integer_is_exact():
+    """jnp.exp2 on this backend returns 2^13 = 8192.004 in f32 (a
+    polynomial approximation); the df exp's power-of-two scaling must be
+    exact (ldexp) or every pair result carries a 5e-7 relative error."""
+    k = jnp.asarray(np.arange(-30, 31), jnp.float32)
+    out = df.exp(df.mul(df.lift(k), df._ln2_pair(jnp.float32)))
+    got = (np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64))
+    want = np.exp2(np.arange(-30, 31).astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=3e-14)
+
+
+def test_eft_exact_under_jit():
+    """Round-5 regression: under whole-graph jit, XLA's algebraic
+    simplifier constant-reassociated ``(x + 1) - 1`` (killing two_sum's
+    residual whenever an operand is constant) and CPU codegen
+    fma-contracted the duplicated ``p = a*b`` into ``p + e`` (one
+    rounding instead of two) — both silently corrupted compiled df64
+    values by ~ulp/2 of the result while EAGER evaluation stayed exact.
+    The ``_pin`` (full-width reduce_precision) in two_sum/quick_two_sum/
+    two_prod blocks both.  This test pins jit-vs-EXACT (rationals) on
+    the two trigger patterns plus jit exp accuracy."""
+    import fractions
+
+    r_hi = jnp.asarray(np.linspace(-0.34, 0.34, 64), jnp.float32)
+    r_lo = jnp.asarray(np.linspace(1e-9, -1e-9, 64), jnp.float32)
+    a = df.DF(r_hi, r_lo)
+
+    # (2) the square: fma-contraction trigger
+    j = jax.jit(lambda p: df.mul(p, p))(a)
+    worst = 0.0
+    for i in range(64):
+        v = (fractions.Fraction(float(r_hi[i])) +
+             fractions.Fraction(float(r_lo[i])))
+        vj = (fractions.Fraction(float(np.asarray(j.hi)[i])) +
+              fractions.Fraction(float(np.asarray(j.lo)[i])))
+        worst = max(worst, abs(float(vj - v * v)))
+    assert worst < 1e-15, worst
+
+    # (1) add with a constant operand: reassociation trigger
+    one = df.lift(jnp.ones_like(r_hi))
+    je = jax.jit(lambda p: df.add(df.lift(jnp.ones_like(p.hi)), p))(a)
+    ee = df.add(one, a)
+    np.testing.assert_array_equal(np.asarray(je.hi), np.asarray(ee.hi))
+    np.testing.assert_array_equal(np.asarray(je.lo), np.asarray(ee.lo))
+
+    # end-to-end: jit exp at pair precision
+    x = jnp.asarray(np.linspace(-2, 2, 64), jnp.float32)
+    jx = jax.jit(lambda q: df.exp(df.lift(q)))(x)
+    sj = np.asarray(jx.hi, np.float64) + np.asarray(jx.lo, np.float64)
+    want = np.exp(np.asarray(x, np.float64))
+    assert np.max(np.abs(sj - want) / want) < 1e-13
