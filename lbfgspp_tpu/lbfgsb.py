@@ -95,11 +95,19 @@ def _resolve_gcp(gcp: str, axis_name) -> str:
     formulations: both reduce over the full coordinate vector with no
     collectives, so under feature sharding each shard would silently
     compute a GCP for its local slice as if it were the whole problem.
-    Any sharded solve therefore routes to the sortless segment walk
-    (cauchy_point_walk; or its chunked variant, 2 collectives per K
-    crossed groups, when explicitly requested) — no distributed sort."""
-    if axis_name is not None and gcp not in ("walk", "walk_chunked"):
-        return "walk"
+    Any sharded solve therefore routes to the sortless segment-walk
+    family — no distributed sort.  ``"auto"`` under sharding selects
+    the runtime-routed ``walk_auto`` (plain walk near the active set,
+    chunked walk for crossing-heavy rounds at the measured >= 16-crossing
+    threshold — `scripts/probe_walk_switchover.py`, PERF.md round-5);
+    any other single-device name falls back to the plain walk."""
+    if axis_name is not None and gcp not in ("walk", "walk_chunked",
+                                             "walk_auto"):
+        return "walk_auto" if gcp == "auto" else "walk"
+    if axis_name is None and gcp == "auto":
+        # single-device: the reference-order scan is valid at any n (the
+        # batched n-threshold routing lives in batch.minimize_b_batched)
+        return "scan"
     return gcp
 
 

@@ -664,7 +664,53 @@ def cauchy_point_prefix_sorted(bh: bmat.BHistory, x0: Array, g: Array,
     return cauchy_point_prefix(bh, x0, g, lb, ub, axis_name, perm="sort")
 
 
+def cauchy_point_walk_auto(bh: bmat.BHistory, x0: Array, g: Array,
+                           lb: Array, ub: Array,
+                           axis_name: Optional[str] = None,
+                           threshold: int = 16,
+                           chunk: int = 64) -> CauchyResult:
+    """Runtime-routed sharded GCP: plain walk for few crossings,
+    ``walk_chunked`` for crossing-heavy rounds.
+
+    Round-5 measured rule (`scripts/probe_walk_switchover.py`, 8-device
+    CPU mesh, n=2^16, K-differenced): the chunked walk already beats the
+    plain walk from ~16 crossings on a fabric with near-zero collective
+    latency (c=16: 8-13 ms vs 13 ms; c=64: 17-22 vs 45; c=4096: 494-848
+    vs 2373), and K=64 sits within ~25% of the best K everywhere above
+    the threshold while costing ~2x at c<=4.  Real ICI adds ~2 x 50 us
+    per ROUND, which the chunked form divides by K — so the CPU-mesh
+    threshold is an upper bound for hardware.
+
+    The crossing count is estimated BEFORE walking from quantities both
+    variants compute anyway: the first segment's unconstrained stop
+    ``dt1 = -fp'/fp''`` bounds the walk's reach, so
+    ``c_est = #(brk <= dt1)`` (one psum) upper-bounds the crossed break
+    points of the dominant first stretch; ``lax.cond`` then runs exactly
+    one variant per call — a cold interior start routes chunked, an
+    endgame iteration near its active set routes the plain walk.  Both
+    branches produce the same GCP up to the chunked form's documented
+    reduction reassociation.
+    """
+    dtype = x0.dtype
+    theta = bh.theta
+    brk, vecd, free0, participates = _break_points(x0, g, lb, ub)
+    vecp0 = bmat.apply_wtv(bh, vecd, axis_name)
+    fp0 = -coll.psqnorm(vecd, axis_name)
+    fpp0 = -theta * fp0 - vecp0 @ bmat.apply_mv(bh, vecp0)
+    fpp_safe = jnp.where(fpp0 > 0, fpp0, jnp.asarray(1.0, dtype))
+    dt1 = jnp.maximum(-fp0 / fpp_safe, 0.0)
+    c_est = coll.psum_scalar(
+        jnp.sum((participates & (brk <= dt1)).astype(jnp.int32)),
+        axis_name)
+    return lax.cond(
+        c_est >= threshold,
+        lambda: cauchy_point_walk_chunked(bh, x0, g, lb, ub, axis_name,
+                                          chunk=chunk),
+        lambda: cauchy_point_walk(bh, x0, g, lb, ub, axis_name))
+
+
 GCP_IMPLS = {"scan": cauchy_point, "prefix": cauchy_point_prefix,
              "prefix_sorted": cauchy_point_prefix_sorted,
              "walk": cauchy_point_walk,
-             "walk_chunked": cauchy_point_walk_chunked}
+             "walk_chunked": cauchy_point_walk_chunked,
+             "walk_auto": cauchy_point_walk_auto}

@@ -165,7 +165,7 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
                        axis_name: str = AXIS,
                        local_fun_and_grad: Optional[Callable] = None,
                        line_search: str = "morethuente",
-                       gcp: str = "walk",
+                       gcp: str = "auto",
                        middle_solve=None) -> SolveResult:
     """L-BFGS-B with the parameter vector (and its box bounds) sharded
     over a 1-D mesh.
@@ -179,10 +179,15 @@ def minimize_b_sharded(local_fun: Optional[Callable] = None,
     *box-constrained* problems scale across devices exactly like the
     unconstrained solver.  ``local_fun`` follows the same partial-objective
     contract as :func:`minimize_sharded`; ``lb``/``ub`` are global [n]
-    vectors sharded like ``x0``.  ``gcp="walk_chunked"`` advances up to 64
-    break-point values per round (2 collectives per chunk instead of per
-    value) — use it when GCPs cross many break points (cold interior
-    starts), the plain walk when solves start near the active set.
+    vectors sharded like ``x0``.  The default ``gcp="auto"`` routes each
+    GCP call at runtime: the plain walk when few break points will be
+    crossed (endgame iterations near the active set), ``walk_chunked``
+    (up to 64 break-point values per round, 2 collectives per chunk
+    instead of per value) when the estimated crossing count reaches the
+    measured >= 16 threshold (cold interior starts cross ~all n) — see
+    :func:`..ops.cauchy.cauchy_point_walk_auto` and the PERF.md round-5
+    switchover table.  Pass ``gcp="walk"`` / ``"walk_chunked"`` to pin
+    a variant.
     """
     from ..lbfgsb import minimize as _minimize_b
 

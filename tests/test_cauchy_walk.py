@@ -238,3 +238,56 @@ def test_sharded_lbfgsb_walk_chunked_matches_single_device():
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-10)
+
+
+@pytest.mark.parametrize("c", [4, 200])
+def test_walk_auto_matches_walk(c):
+    """walk_auto routes by the estimated crossing count (>= 16 ->
+    chunked; round-5 measured threshold) and must reproduce the plain
+    walk's GCP in BOTH regimes (the chunked branch up to its documented
+    reduction reassociation)."""
+    n, m = 512, 6
+    rng = np.random.default_rng(c)
+    bh = bmat.init_b_history(n, m, jnp.float64)
+    x0 = jnp.zeros(n, jnp.float64)
+    g = jnp.ones(n, jnp.float64)
+    lb = np.full(n, -100.0)
+    idx = rng.choice(n, size=c, replace=False)
+    lb[idx] = -(0.05 + 0.85 * rng.random(c))
+    lb = jnp.asarray(lb)
+    ub = jnp.full(n, 100.0, jnp.float64)
+
+    ref = cauchy.cauchy_point_walk(bh, x0, g, lb, ub)
+    auto = jax.jit(lambda *a: cauchy.cauchy_point_walk_auto(*a))(
+        bh, x0, g, lb, ub)
+    np.testing.assert_allclose(np.asarray(auto.xcp), np.asarray(ref.xcp),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(auto.vecc), np.asarray(ref.vecc),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_auto_routes_and_solves():
+    """minimize_b_sharded's default gcp="auto" (round 5) must solve the
+    sharded box problem to the same solution as the pinned walk."""
+    from lbfgspp_tpu.parallel.sharded import minimize_b_sharded, sharding_for
+    from jax.sharding import Mesh
+
+    n = 64
+    d = jnp.asarray(np.random.default_rng(3).uniform(-3, 3, n))
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("feat",))
+
+    def local_quad(x_local):
+        i = jax.lax.axis_index("feat")
+        k = n // 8
+        dl = jax.lax.dynamic_slice_in_dim(d, i * k, k)
+        return jnp.sum((x_local - dl) ** 2)
+
+    x0 = jax.device_put(jnp.zeros(n), sharding_for(mesh))
+    res = jax.jit(lambda x: minimize_b_sharded(
+        local_quad, x, lb, ub, LBFGSBParams(epsilon=1e-6,
+                                            max_iterations=60),
+        mesh=mesh))(x0)
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.clip(np.asarray(d), lb, ub), atol=1e-5)

@@ -90,7 +90,8 @@ def test_lbfgsb_sharded_collective_budget():
     p = LBFGSBParams(epsilon=1e-8, max_iterations=50)
 
     counts = _collective_counts(
-        lambda x, l, u: minimize_b_sharded(local_fun, x, l, u, p, mesh=mesh),
+        lambda x, l, u: minimize_b_sharded(local_fun, x, l, u, p, mesh=mesh,
+                                           gcp="walk"),
         x0, lb, ub)
     total = sum(counts.values())
     assert counts.get("all-to-all", 0) == 0, counts
@@ -99,6 +100,20 @@ def test_lbfgsb_sharded_collective_budget():
     # state), the BOXCQP middle-matrix reductions and the projected-grad
     # pmax / step_max pmin. Current footprint: 27 all-reduce ops.
     assert total <= 27, (total, counts)
+
+    # The round-5 default gcp="auto" compiles BOTH walk branches plus the
+    # crossing-count estimate psum; the chunked branch contributes its
+    # documented [K]-candidate all-gather (latency-class, 2 collectives
+    # per K crossed values at runtime) — so the static definition count
+    # grows, but the runtime cost model stays pure-latency all-reduce +
+    # one small all-gather per chunk round.
+    counts_auto = _collective_counts(
+        lambda x, l, u: minimize_b_sharded(local_fun, x, l, u, p,
+                                           mesh=mesh),
+        x0, lb, ub)
+    assert counts_auto.get("all-to-all", 0) == 0, counts_auto
+    assert counts_auto.get("all-gather", 0) <= 2, counts_auto
+    assert sum(counts_auto.values()) <= 60, counts_auto
 
 
 def test_lbfgs_rinv_collective_budget_matches_sweeps():
