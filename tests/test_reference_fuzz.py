@@ -572,3 +572,188 @@ def test_lbfgsb_submin_fallback_bitcompat(gt):
                     float(res.fx[rep]), ref["fx"], rtol=1e-12, atol=1e-14,
                     err_msg=f"cfg={cfg} rep={rep}")
             cfg += 1
+
+
+def test_lbfgs_f32_quartic_bitcompat(gt):
+    """Scalar=float separable quartics (cfg=5100 block, VERDICT r4 task
+    6): the non-quadratic line-search curvature family at f32 precision
+    under NW and MT.  Measured: ALL 128 runs iteration-exact vs the
+    binary with fx agreeing to 1e-4 relative — the per-coordinate
+    quartic arithmetic is reproducible across summation orders even in
+    f32 (unlike the chaotic Rosenbrock coupling)."""
+    path = _DIR / "reference_fuzz_f32.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("f32 capture not present")
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgs_f32_quartic",
+                                                      [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("f32 quartic capture not present")
+
+    make_sq = fuzz.squartic_fg_factory(jnp)
+    p = lt.LBFGSParams(epsilon=1e-4, epsilon_rel=1e-4, max_iterations=500)
+    n_exact = total = 0
+    for li, ls in enumerate(("nocedalwright", "morethuente")):
+        for ni, n in enumerate((4, 10)):
+            cfg = 5100 + li * 2 + ni
+            c = np.empty((32, n), np.float32)
+            d = np.empty((32, n), np.float32)
+            t = np.empty((32, n), np.float32)
+            x0 = np.empty((32, n), np.float32)
+            for rep in range(32):
+                rng = fuzz.Rng((cfg << 32) | (rep + 1))
+                for i in range(n):
+                    c[rep, i] = np.float32(rng.uniform(0.1, 2.0))
+                for i in range(n):
+                    d[rep, i] = np.float32(rng.uniform(0.1, 2.0))
+                for i in range(n):
+                    t[rep, i] = np.float32(rng.uniform(-1.0, 1.0))
+                for i in range(n):
+                    x0[rep, i] = np.float32(rng.uniform(-2.0, 2.0))
+
+            def solve(cv, dv, tv, x):
+                return lt.minimize(fun_and_grad=make_sq(cv, dv, tv), x0=x,
+                                   params=p, line_search=ls)
+
+            res = jax.jit(jax.vmap(solve))(
+                jnp.asarray(c), jnp.asarray(d), jnp.asarray(t),
+                jnp.asarray(x0))
+            for rep in range(32):
+                ref = rows[(cfg, rep)]
+                assert ref["niter"] >= 0      # reference finishes all
+                total += 1
+                n_exact += int(res.niter[rep]) == ref["niter"]
+                assert abs(float(res.fx[rep]) - ref["fx"]) <= \
+                    1e-4 * max(1.0, abs(ref["fx"])), (cfg, rep, ls)
+    assert total == 128
+    assert n_exact >= 120, n_exact          # measured 128/128
+
+
+def test_lbfgsb_f32_pinned_inf_bitcompat(gt):
+    """Scalar=float pinned (lb==ub) and one-sided-infinite boxes
+    (cfg=5200 block): the f64 cfg=2100 kind mix at f32 precision.
+    Measured: 55/64 iteration-exact, all 64 within two iterations, the
+    final objective agreeing to 1e-4 relative on every run."""
+    path = _DIR / "reference_fuzz_f32.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("f32 capture not present")
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get(
+                "lbfgsb_f32_pinned_inf", [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("f32 pinned/inf capture not present")
+
+    p = lt.LBFGSBParams(epsilon=1e-4, epsilon_rel=1e-4, max_iterations=500)
+    n_exact = n_near = total = 0
+    for ni, n in enumerate((4, 10)):
+        cfg = 5200 + ni
+        d = np.empty((32, n), np.float32)
+        b = np.empty((32, n), np.float32)
+        lb = np.empty((32, n), np.float32)
+        ub = np.empty((32, n), np.float32)
+        x0 = np.empty((32, n), np.float32)
+        for rep in range(32):
+            rng = fuzz.Rng((cfg << 32) | (rep + 1))
+            for i in range(n):
+                d[rep, i] = np.float32(rng.uniform(0.5, 10.0))
+            for i in range(n):
+                b[rep, i] = np.float32(rng.uniform(-1.0, 1.0))
+            for i in range(n):
+                a = rng.uniform(-1.5, 1.5)
+                w = rng.uniform(0.05, 1.5)
+                kind = rng.uniform()
+                if kind < 0.2:
+                    lb[rep, i] = ub[rep, i] = np.float32(a)
+                elif kind < 0.35:
+                    lb[rep, i] = -np.inf
+                    ub[rep, i] = np.float32(a + w)
+                elif kind < 0.5:
+                    lb[rep, i] = np.float32(a - w)
+                    ub[rep, i] = np.inf
+                else:
+                    lb[rep, i] = np.float32(a - w)
+                    ub[rep, i] = np.float32(a + w)
+            for i in range(n):
+                lo = max(float(lb[rep, i]), -3.0)
+                hi = min(float(ub[rep, i]), 3.0)
+                x0[rep, i] = np.float32(rng.uniform(lo, hi))
+
+        def solve(dv, bv, lbv, ubv, x):
+            return lt.minimize_b(fun_and_grad=_quad_fg(dv, bv), x0=x,
+                                 lb=lbv, ub=ubv, params=p)
+
+        res = jax.jit(jax.vmap(solve))(jnp.asarray(d), jnp.asarray(b),
+                                       jnp.asarray(lb), jnp.asarray(ub),
+                                       jnp.asarray(x0))
+        for rep in range(32):
+            ref = rows[(cfg, rep)]
+            assert ref["niter"] >= 0
+            total += 1
+            nj = int(res.niter[rep])
+            n_exact += nj == ref["niter"]
+            n_near += abs(nj - ref["niter"]) <= 2
+            assert abs(float(res.fx[rep]) - ref["fx"]) <= \
+                1e-4 * max(1.0, abs(ref["fx"])), (cfg, rep)
+    assert total == 64
+    assert n_exact >= 44, n_exact           # measured 55
+    assert n_near == total, n_near          # measured 64
+
+
+def test_lbfgs_f32_failure_paths(gt):
+    """Scalar=float line-search failure grid (cfg=5300 block): the f64
+    cfg=4700 adversarial budgets at f32 precision (trial-cap
+    exhaustion, tiny max_step, narrow [min,max] window; NW + MT).  The
+    capture has 75/96 reference throws.  Measured outcome-class
+    accounting: 72/75 throws answered with a failure status; of the 21
+    reference finishes, 17 JAX runs also finish (16 iteration-exact) —
+    every residual sits on the last-ulp decrease-floor boundary exactly
+    as in the f64 grid."""
+    path = _DIR / "reference_fuzz_f32.json"
+    if not path.exists():  # pragma: no cover
+        pytest.skip("f32 capture not present")
+    rows = {(r["cfg"], r["rep"]): r
+            for r in json.loads(path.read_text()).get("lbfgs_f32_lsfail",
+                                                      [])}
+    if not rows:  # pragma: no cover
+        pytest.skip("f32 failure-grid capture not present")
+
+    variants = [(1, 1e-20, 1e20), (20, 1e-20, 1e-3), (5, 0.3, 0.5)]
+    total = ref_thrown = match_fail = finish_exact = 0
+    for ni, n in enumerate((4, 10)):
+        for vi, (mls, mins, maxs) in enumerate(variants):
+            for li, ls in enumerate(("nocedalwright", "morethuente")):
+                cfg = 5300 + ni * 6 + vi * 2 + li
+                d = np.empty((8, n), np.float32)
+                b = np.empty((8, n), np.float32)
+                x0 = np.empty((8, n), np.float32)
+                for rep in range(8):
+                    rng = fuzz.Rng((cfg << 32) | (rep + 1))
+                    for i in range(n):
+                        d[rep, i] = np.float32(rng.uniform(0.5, 10.0))
+                    for i in range(n):
+                        b[rep, i] = np.float32(rng.uniform(-1.0, 1.0))
+                    for i in range(n):
+                        x0[rep, i] = np.float32(rng.uniform(-2.0, 2.0))
+                p = lt.LBFGSParams(epsilon=1e-6, epsilon_rel=0.0,
+                                   max_iterations=400, max_linesearch=mls,
+                                   min_step=mins, max_step=maxs)
+
+                def solve(dv, bv, x):
+                    return lt.minimize(fun_and_grad=_quad_fg(dv, bv),
+                                       x0=x, params=p, line_search=ls)
+
+                res = jax.jit(jax.vmap(solve))(
+                    jnp.asarray(d), jnp.asarray(b), jnp.asarray(x0))
+                for rep in range(8):
+                    ref = rows[(cfg, rep)]
+                    st = int(res.status[rep])
+                    total += 1
+                    if ref["niter"] < 0:
+                        ref_thrown += 1
+                        match_fail += st >= 10
+                    elif st < 10:
+                        finish_exact += int(res.niter[rep]) == ref["niter"]
+    assert total == 96
+    assert ref_thrown == 75                  # capture content, fixed
+    assert match_fail >= 65, match_fail      # measured 72
+    assert finish_exact >= 12, finish_exact  # measured 16
