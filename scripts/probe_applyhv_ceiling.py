@@ -89,6 +89,9 @@ def main():
 
     print(f"n = 2^{log2n}", flush=True)
     timed(6, None, "sweeps", "m=6 f32 sweeps")
+    # padding check: m=6 rows pad to 8 sublanes, so m=8 should stream
+    # the SAME physical bytes — the 7th/8th history slots are free
+    timed(8, None, "sweeps", "m=8 f32 sweeps")
     timed(6, jnp.bfloat16, "sweeps", "m=6 bf16 sweeps")
     timed(16, None, "sweeps", "m=16 f32 sweeps")
 
