@@ -118,21 +118,30 @@ def correction_products(hist: LBFGSHistory, s: Array, y: Array,
     """
     m = hist.m
     rhs = jnp.stack([y, s], axis=0)                         # [2, n]
-    # Three independent products instead of one [2m+2, n] concatenated
-    # operand: each output element is the same dot with the same
-    # reduction order (bit-identical values — a bf16-stored history is
-    # promoted to f32 per-element either way), but the concat MATERIALIZES
-    # a [2m+2, n] f32 buffer (the bf16 rows upcast into it), which at
-    # n >= 2^26 is a multi-GB allocation the AOT compiler rejects; the
-    # split form lets XLA fuse the upcasts into the dot loops.  The
-    # single-collective property is kept: the three partials ride one
-    # psum below.
     hp = lax.Precision.HIGHEST
-    prod = jnp.concatenate([
-        jnp.einsum("an,bn->ab", hist.y, rhs, precision=hp),   # [m, 2]
-        jnp.einsum("an,bn->ab", hist.s, rhs, precision=hp),   # [m, 2]
-        jnp.einsum("an,bn->ab", rhs, rhs, precision=hp),      # [2, 2]
-    ], axis=0)                                                # [2m+2, 2]
+    if s.shape[-1] >= (1 << 20):
+        # LARGE n: three independent products instead of one [2m+2, n]
+        # concatenated operand — each output element is the same dot
+        # with the same reduction order (bit-identical values; a
+        # bf16-stored history is promoted to f32 per-element either
+        # way), but the concat MATERIALIZES a [2m+2, n] f32 buffer (the
+        # bf16 rows upcast into it), a multi-GB allocation at n >= 2^26
+        # that the AOT compiler rejects; the split form lets XLA fuse
+        # the upcasts into the dot loops.  The single-collective
+        # property is kept: the partials ride one psum below.
+        prod = jnp.concatenate([
+            jnp.einsum("an,bn->ab", hist.y, rhs, precision=hp),  # [m, 2]
+            jnp.einsum("an,bn->ab", hist.s, rhs, precision=hp),  # [m, 2]
+            jnp.einsum("an,bn->ab", rhs, rhs, precision=hp),     # [2, 2]
+        ], axis=0)                                               # [2m+2, 2]
+    else:
+        # SMALL n: the one-fused-product form — at tiny n the three
+        # separate matvecs cost measurable extra dispatch per iteration
+        # (box bench n=10: ~6% of throughput, round-5 measurement), and
+        # the [2m+2, n] concat is a few KB.
+        stacked = jnp.concatenate([hist.y, hist.s, y[None, :],
+                                   s[None, :]], axis=0)      # [2m+2, n]
+        prod = jnp.einsum("an,bn->ab", stacked, rhs, precision=hp)
     if axis_name is not None:
         prod = lax.psum(prod, axis_name)
     yx = prod[:m]            # [m, 2]: col 0 = Y@y, col 1 = Y@s
