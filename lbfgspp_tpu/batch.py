@@ -338,6 +338,96 @@ def polish_solve_b(fun: Optional[Callable], x0: Array,
                        status=pol.status, history=pol.history)
 
 
+def polish_solve_owlqn(fun: Optional[Callable], x0: Array,
+                       l1, params: LBFGSParams, iters: int,
+                       *,
+                       fun_and_grad=None,
+                       line_search: str = "morethuente",
+                       direction: str = "sweeps",
+                       on_ls_fail: str = "stop",
+                       restarts: int = 1,
+                       prior: Optional[SolveResult] = None) -> SolveResult:
+    """Active-orthant df64 polish for L1-regularized (OWL-QN) solutions.
+
+    The L1 analog of :func:`polish_solve_b` (round 5).  An f32 OWL-QN
+    solve (:func:`~.owlqn.minimize_owlqn`) terminates at the f32
+    objective plateau like every other solver — and since its ``f*`` is
+    generally nonzero, the pseudo-gradient stalls at
+    ``~sqrt(L * ulp(f*))``.  On the converged SUPPORT the composite
+    objective is SMOOTH (``loss + sum lam_i sign(x_i) x_i`` on the
+    fixed orthant), so the classic post-identification polish applies:
+
+    1. coordinates at EXACT zero (OWL-QN's projection produces them)
+       with ``|g_i| <= lam_i`` are KKT-consistent zeros — pin them;
+    2. nonzero coordinates keep their orthant ``s_i = sign(x_i)`` and
+       refine on the smooth restriction
+       ``z -> loss(where(free, z, 0)) + sum_free lam_i s_i z_i``
+       with the shifted df64 pair polish (the shift makes sub-ulp(f*)
+       decreases visible — the round-5 f* != 0 rule);
+    3. the refined point is projected back onto the orthant
+       (sign-flipped coordinates clamp to exact 0) and accepted only
+       if the df64-evaluated FULL L1 objective did not worsen
+       (misclassification safety: a wrongly-pinned zero or wrong
+       orthant can only lose by the test, keeping the OWL-QN iterate).
+
+    Returns ``gnorm`` as the pseudo-gradient infinity norm (the KKT
+    residual).  ``prior`` as in :func:`polish_solve_b`: cumulative
+    counters, the OWL-QN solve's status/history authoritative.
+    """
+    from .utils import doublefloat as dfl
+    from .owlqn import pseudo_gradient
+
+    fg = make_fun_and_grad(fun, fun_and_grad)
+    x0 = jnp.asarray(x0)
+    lam = jnp.broadcast_to(jnp.asarray(l1, x0.dtype), x0.shape)
+    fx0_loss, g0 = fg(x0)
+    fx0 = fx0_loss + jnp.sum(lam * jnp.abs(x0))
+    zero = x0 == 0.0
+    pinned = zero & (jnp.abs(g0) <= lam)     # KKT-consistent exact zeros
+    sgn = jnp.sign(x0)
+
+    def raw_masked(z):
+        xz = jnp.where(pinned, 0.0, z)
+        loss, _ = fg(xz)
+        return loss + jnp.sum(jnp.where(pinned, 0.0, lam * sgn * z))
+
+    ref = dfl.df64ify(raw_masked, to_native=False)(x0)
+    chi = jax.lax.stop_gradient(ref.hi)
+    clo = jax.lax.stop_gradient(ref.lo)
+
+    def masked_fun(z):
+        return (raw_masked(z) - chi) - clo
+
+    pol = polish_solve(masked_fun, x0, params, iters,
+                       line_search=line_search, direction=direction,
+                       on_ls_fail=on_ls_fail, restarts=restarts)
+    # orthant projection: coordinates that crossed zero clamp to EXACT 0
+    xp = jnp.where(pinned | (sgn * pol.x < 0.0), 0.0, pol.x)
+
+    def full_l1(z):
+        loss, _ = fg(z)
+        return loss + jnp.sum(lam * jnp.abs(z))
+
+    shifted = dfl.df64ify(lambda z: (full_l1(z) - chi) - clo)
+    better = shifted(xp) <= shifted(x0)
+    x = jnp.where(better, xp, x0)
+    loss_x, gx = fg(x)
+    fx = jnp.where(better, loss_x + jnp.sum(lam * jnp.abs(x)), fx0)
+    grad = jnp.where(better, gx, g0)
+    pg = pseudo_gradient(x, grad, lam)
+    pgnorm = jnp.max(jnp.abs(pg))
+    # nfev: inner polish + fg(x0), the df64 reference, two shifted df64
+    # acceptance evals, fg(x).
+    if prior is not None:
+        return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
+                           niter=prior.niter + pol.niter,
+                           nfev=prior.nfev + pol.nfev + 5,
+                           status=prior.status, history=prior.history)
+    return SolveResult(x=x, fx=fx, grad=grad, gnorm=pgnorm,
+                       niter=pol.niter, nfev=pol.nfev + 5,
+                       status=pol.status, history=pol.history)
+
+
 def deep_polish(fun: Optional[Callable], res: SolveResult,
                 params: LBFGSParams, k_deep: int, deep_iters: int,
                 *,

@@ -595,3 +595,78 @@ assert int(three.niter) >= int(one.niter)
 assert ginf(three.x) <= ginf(one.x) + 1e-12
 print("OK")
 """)
+
+
+def _lasso_problem(seed=5, rows=48, n=24, lam=0.01):
+    rng = np.random.default_rng(seed)
+    A = jnp.asarray(rng.normal(size=(rows, n)) / np.sqrt(rows), jnp.float32)
+    w_true = np.zeros(n)
+    w_true[:5] = rng.normal(size=5) * 2
+    y = jnp.asarray(
+        (np.asarray(A) @ w_true + 0.01 * rng.normal(size=rows))
+        .astype(np.float32))
+
+    def loss(w):
+        r = A @ w - y
+        return 0.5 * jnp.dot(r, r)
+
+    A64 = np.asarray(A, np.float64)
+    y64 = np.asarray(y, np.float64)
+
+    def kkt64(x):
+        x = np.asarray(x, np.float64)
+        g = A64.T @ (A64 @ x - y64)
+        pg = np.where(x != 0, g + lam * np.sign(x),
+                      np.where(g + lam < 0, g + lam,
+                               np.where(g - lam > 0, g - lam, 0.0)))
+        return np.max(np.abs(pg))
+
+    def full64(x):
+        x = np.asarray(x, np.float64)
+        r = A64 @ x - y64
+        return 0.5 * r @ r + lam * np.sum(np.abs(x))
+
+    return loss, kkt64, full64, lam, n
+
+
+def test_owlqn_polish_improves_kkt_preserves_sparsity():
+    """polish_solve_owlqn (round 5): the active-orthant df64 polish of an
+    f32 OWL-QN lasso solution must improve the f64-checked KKT residual,
+    keep the exact-zero support, and never worsen the full L1 objective
+    (df64 acceptance gate)."""
+    from lbfgspp_tpu import LBFGSParams as P
+    from lbfgspp_tpu.owlqn import minimize_owlqn
+    from lbfgspp_tpu.batch import polish_solve_owlqn
+
+    loss, kkt64, full64, lam, n = _lasso_problem()
+    res = minimize_owlqn(loss, jnp.zeros(n, jnp.float32), lam,
+                         P(epsilon=1e-7, max_iterations=500))
+    k0 = kkt64(res.x)
+    z0 = int((np.asarray(res.x) == 0).sum())
+    assert z0 >= 5                     # genuinely sparse f32 solution
+
+    polp = P(epsilon=1e-9, epsilon_rel=0.0, max_iterations=100, m=8)
+    pol = polish_solve_owlqn(loss, res.x, lam, polp, 30, prior=res,
+                             on_ls_fail="restart", restarts=2)
+    assert kkt64(pol.x) < k0           # strictly better KKT residual
+    assert full64(pol.x) <= full64(res.x) + 1e-12
+    assert int((np.asarray(pol.x) == 0).sum()) >= z0   # zeros preserved
+    # prior= merges counters and keeps the OWL-QN status
+    assert int(pol.niter) > int(res.niter)
+    assert int(pol.status) == int(res.status)
+
+
+def test_owlqn_polish_misclassification_safety():
+    """A start whose 'support' is entirely wrong (handed a perturbed
+    vector, not an OWL-QN result): the df64 acceptance gate guarantees
+    the returned point is never worse than the input on the full L1
+    objective."""
+    from lbfgspp_tpu import LBFGSParams as P
+    from lbfgspp_tpu.batch import polish_solve_owlqn
+
+    loss, kkt64, full64, lam, n = _lasso_problem(seed=9)
+    rng = np.random.default_rng(0)
+    x_bad = jnp.asarray(rng.normal(size=n) * 0.3, jnp.float32)
+    polp = P(epsilon=1e-9, epsilon_rel=0.0, max_iterations=60, m=8)
+    pol = polish_solve_owlqn(loss, x_bad, lam, polp, 20)
+    assert full64(pol.x) <= full64(x_bad) + 1e-12
