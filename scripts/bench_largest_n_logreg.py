@@ -37,7 +37,7 @@ def main():
     on_tpu = backend not in ("cpu",)
     log2n = int(os.environ.get("PROBE_LOG2N", 25 if on_tpu else 20))
     rows = 8
-    m = 6
+    m = int(os.environ.get("PROBE_M", 6))
     K1, K2 = 6, 16
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("feat",))
