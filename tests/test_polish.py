@@ -221,15 +221,16 @@ def test_deep_polish_closes_the_tail():
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
     # Budgets tuned so a small tail (1/64 instances) misses the criterion
     # after main + warm polish — the bench's ~0.05% straggler regime at
-    # test scale.  (polish_iters=2 since round 5: the EFT jit fix made
-    # the pair polish strong enough that 4 iterations close everything.)
+    # test scale.  (polish_iters tuned twice in round 5: the EFT jit fix
+    # and the small-n fused-product restoration both shifted the f32
+    # tail; 3 leaves exactly the coverable 1/64 tail on this seed.)
     params = LBFGSParams(epsilon=1e-5, max_iterations=150, m=16)
-    base = minimize_batched(rosenbrock, x0s, params, polish_iters=2,
+    base = minimize_batched(rosenbrock, x0s, params, polish_iters=3,
                             polish_warm=True, direction="rinv")
     q_base = float(np.mean(_maxerr(base.x) <= 1e-4))
     assert q_base < 1.0          # the tail exists in this configuration
 
-    res = minimize_batched(rosenbrock, x0s, params, polish_iters=2,
+    res = minimize_batched(rosenbrock, x0s, params, polish_iters=3,
                            polish_warm=True, direction="rinv",
                            deep_frac=0.05, deep_iters=100)
     assert float(np.mean(_maxerr(res.x) <= 1e-4)) == 1.0
@@ -377,13 +378,17 @@ def test_deep_polish_hstep_selection():
     B, n = 256, 100
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (B, n)), jnp.float32)
-    params = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16,
+    params = LBFGSParams(epsilon=1e-5, max_iterations=150, m=16,
                          max_linesearch=2)
-    pparams = LBFGSParams(epsilon=1e-5, max_iterations=162, m=16)
+    pparams = LBFGSParams(epsilon=1e-5, max_iterations=150, m=16)
 
     def one(x0):
-        res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv")
-        pol = polish_solve(rosenbrock, res.x, pparams, 5,
+        # restart = the shipped trial-capped semantics; without it the
+        # capped search leaves mid-valley idlers that a 60-iteration
+        # deep budget cannot re-solve (round-4 failure class A)
+        res = lbfgs.minimize(rosenbrock, x0, params, direction="rinv",
+                             on_ls_fail="restart")
+        pol = polish_solve(rosenbrock, res.x, pparams, 3,
                            direction="rinv", warm_history=res.history)
         return _merge_polished(res, pol)
 
