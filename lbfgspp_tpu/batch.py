@@ -222,6 +222,9 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     x = dfl.pair_to_float(res2.x)
     grad = res2.grad[:n]
     fx_out = (res2.fx + clo) + chi if shift else res2.fx
+    # the shift's df64 reference evaluation at x0 counts as one nfev
+    # (polish_solve_b enumerates its wrapper evaluations the same way)
+    nfev_out = res2.nfev + 1 if shift else res2.nfev
     # The polish solver's curvature pairs live in pair space ([m, 2n]);
     # they are meaningless for the returned [n] iterate, so the result
     # carries a shape-consistent EMPTY history (ncorr=0 -> B = theta*I)
@@ -229,7 +232,7 @@ def polish_solve(fun: Optional[Callable], x0: Array,
     # main phase's real history via _merge_polished.
     return SolveResult(x=x, fx=fx_out, grad=grad,
                        gnorm=jnp.linalg.norm(grad),
-                       niter=res2.niter, nfev=res2.nfev,
+                       niter=res2.niter, nfev=nfev_out,
                        status=res2.status,
                        history=hist_ops.init_history(n, params.m, x.dtype))
 
@@ -384,7 +387,15 @@ def polish_solve_owlqn(fun: Optional[Callable], x0: Array,
     fx0 = fx0_loss + jnp.sum(lam * jnp.abs(x0))
     zero = x0 == 0.0
     pinned = zero & (jnp.abs(g0) <= lam)     # KKT-consistent exact zeros
-    sgn = jnp.sign(x0)
+    # Orthant per coordinate: nonzeros keep sign(x0); zeros that are NOT
+    # KKT-consistent (|g0| > lam — the f32 solve parked them at 0 with
+    # first-order decrease still available) get the DESCENT orthant from
+    # the pseudo-gradient (pg > 0 -> f decreases into x < 0).  sign(0)=0
+    # would otherwise zero their L1 term in the masked objective and the
+    # full-L1 acceptance test would reject the whole instance's
+    # refinement (round-5 review finding).
+    pg0 = pseudo_gradient(x0, g0, lam)
+    sgn = jnp.where(zero, -jnp.sign(pg0), jnp.sign(x0))
 
     def raw_masked(z):
         xz = jnp.where(pinned, 0.0, z)

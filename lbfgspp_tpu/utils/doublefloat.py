@@ -276,24 +276,48 @@ def log1p(x: DF) -> DF:
 
 def expm1(x: DF) -> DF:
     # exp(x) is pair-accurate near 1, and the df sub is exact — the
-    # classic expm1 cancellation is absorbed by the lo word.
-    return sub(exp(x), lift(jnp.ones_like(x.hi)))
+    # classic expm1 cancellation is absorbed by the lo word.  Guard the
+    # overflow region: exp's extreme path returns (inf, 0) and the EFT
+    # sub would produce inf - inf = NaN in the error term; defer to the
+    # base expm1 there (round-5 review finding).
+    out = sub(exp(x), lift(jnp.ones_like(x.hi)))
+    big = x.hi > 80.0
+    plain = jnp.expm1(x.hi)
+    return DF(jnp.where(big, plain, out.hi),
+              jnp.where(big, jnp.zeros_like(plain), out.lo))
 
 
 def logistic(x: DF) -> DF:
-    return div(lift(jnp.ones_like(x.hi)),
-               add(lift(jnp.ones_like(x.hi)), exp(neg(x))))
+    # Numerically-stable two-branch form: e = exp(-|x|) <= 1 never
+    # overflows (the naive 1/(1 + exp(-x)) produced inf -> NaN through
+    # the EFT ops for x < ~-88, where the base sigmoid correctly
+    # saturates to 0 — round-5 review finding).
+    #   x >= 0:  sigma = 1 / (1 + e)
+    #   x <  0:  sigma = e / (1 + e)
+    ax = DF(jnp.abs(x.hi), jnp.where(x.hi < 0, -x.lo, x.lo))
+    e = exp(neg(ax))
+    one = lift(jnp.ones_like(x.hi))
+    denom = add(one, e)
+    pos = div(one, denom)
+    negb = div(e, denom)
+    nonneg = x.hi >= 0
+    return DF(jnp.where(nonneg, pos.hi, negb.hi),
+              jnp.where(nonneg, pos.lo, negb.lo))
 
 
 def tanh(x: DF) -> DF:
-    # (e^{2x} - 1) / (e^{2x} + 1), saturated beyond |x| > 20 where the
-    # result is +-1 to far below pair precision.
-    e2 = exp(add(x, x))
+    # (e^{2x} - 1) / (e^{2x} + 1) on |x| via the overflow-free e <= 1
+    # form, saturated beyond |x| > 20 where the result is +-1 to far
+    # below pair precision.
+    ax = DF(jnp.abs(x.hi), jnp.where(x.hi < 0, -x.lo, x.lo))
+    e2 = exp(neg(add(ax, ax)))               # e^{-2|x|} <= 1
     one = lift(jnp.ones_like(x.hi))
-    t = div(sub(e2, one), add(e2, one))
+    t = div(sub(one, e2), add(one, e2))      # tanh(|x|)
     sat = jnp.abs(x.hi) > 20.0
+    hi = jnp.where(sat, jnp.ones_like(t.hi), t.hi)
+    lo = jnp.where(sat, jnp.zeros_like(t.lo), t.lo)
     sgn = jnp.sign(x.hi)
-    return DF(jnp.where(sat, sgn, t.hi), jnp.where(sat, 0.0, t.lo))
+    return DF(sgn * hi, sgn * lo)
 
 
 def _tree_fold(x: DF, axis: int) -> DF:
@@ -466,8 +490,19 @@ _ARITH_RULES = {
         jnp.asarray(a.hi).dtype))),
     "log2": lambda p, a, **kw: div(log(a), _ln2_pair(
         jnp.asarray(a.hi).dtype)),
-    "pow": lambda p, a, b, **kw: exp(mul(b, log(a))),
+    "pow": lambda p, a, b, **kw: _pow_rule(a, b),
 }
+
+
+def _pow_rule(a: DF, b: DF) -> DF:
+    # exp(b * log a) is only valid for a > 0; base JAX pow handles
+    # non-positive bases (integral exponents, a == 0) — defer to it
+    # there instead of emitting NaN (round-5 review finding).
+    out = exp(mul(b, log(a)))
+    ok = a.hi > 0
+    plain = jnp.power(to_float(a), to_float(b))
+    return DF(jnp.where(ok, out.hi, plain),
+              jnp.where(ok, out.lo, jnp.zeros_like(plain)))
 
 _CALLS = {"pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
           "custom_vjp_call_jaxpr", "remat", "checkpoint"}

@@ -232,3 +232,32 @@ def test_eft_exact_under_jit():
     sj = np.asarray(jx.hi, np.float64) + np.asarray(jx.lo, np.float64)
     want = np.exp(np.asarray(x, np.float64))
     assert np.max(np.abs(sj - want) / want) < 1e-13
+
+
+def test_df64_transcendental_saturation_guards():
+    """Round-5 review: the transcendental rules must match base JAX's
+    domain handling at the extremes — sigmoid saturates (no inf -> NaN
+    through the EFT ops), expm1 overflows to inf, pow handles
+    non-positive bases, tanh is the overflow-free form."""
+    import jax.nn
+
+    x = jnp.asarray([-100.0, -88.0, 0.0, 88.0, 100.0], jnp.float32)
+    s = df.df64ify(jax.nn.sigmoid, to_native=False)(x)
+    got = np.asarray(s.hi, np.float64) + np.asarray(s.lo, np.float64)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(
+        got, 1 / (1 + np.exp(-np.asarray(x, np.float64))), atol=1e-13)
+
+    e = df.df64ify(jnp.expm1, to_native=False)(
+        jnp.asarray([100.0, -100.0], jnp.float32))
+    assert np.isinf(np.asarray(e.hi)[0])
+    assert abs(float(e.hi[1]) + 1.0) < 1e-6
+
+    pw = df.df64ify(lambda v: v ** 2.0, to_native=False)(
+        jnp.asarray([-3.0, 0.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(pw.hi), [9.0, 0.0], atol=1e-6)
+
+    t = df.df64ify(jnp.tanh, to_native=False)(
+        jnp.asarray([-100.0, 100.0], jnp.float32))
+    got = np.asarray(t.hi, np.float64) + np.asarray(t.lo, np.float64)
+    np.testing.assert_allclose(got, [-1.0, 1.0], atol=1e-14)
