@@ -35,6 +35,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# CPU-only workaround, set BEFORE jax initializes: this jaxlib's CPU
+# fusion emitters generate non-terminating code for the nested
+# transcendental df64 graphs this example compiles (see CLAUDE.md /
+# tests/conftest.py); harmless on TPU (the flag is CPU-specific).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_use_fusion_emitters" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_use_fusion_emitters=false").strip()
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,14 +54,24 @@ from lbfgspp_tpu.batch import minimize_batched
 
 def main():
     rows, n, lam = 64, 32, 0.1
-    batch = 512
+    # TPU: the measured production scale.  CPU: a small batch — the df64
+    # polish graphs compile slowly on the CPU backend, and the point of
+    # the example is the recipe, not CPU throughput.
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = 512 if on_tpu else 32
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(rows, n)) / np.sqrt(n), jnp.float32)
     b = jnp.asarray(np.sign(rng.normal(size=rows)), jnp.float32)
 
     def logreg(w):
-        z = -b * (a @ w)
-        return jnp.sum(jnp.logaddexp(0.0, z)) + 0.5 * lam * jnp.dot(w, w)
+        # float32 matmul precision: TPU f32 matmuls default to bf16
+        # passes whose ~1e-4 gradient noise would sit above the 1e-6
+        # polish exit (CLAUDE.md; same wrapper as the round-5
+        # measurement script probe_recipe_families.py).
+        with jax.default_matmul_precision("float32"):
+            z = -b * (a @ w)
+            return (jnp.sum(jnp.logaddexp(0.0, z))
+                    + 0.5 * lam * jnp.dot(w, w))
 
     x0s = jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)), jnp.float32)
 
