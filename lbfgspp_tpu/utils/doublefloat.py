@@ -35,7 +35,7 @@ exactness of the transforms against f64 on every CI backend.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Callable, NamedTuple
 
 import numpy as np
@@ -107,6 +107,30 @@ def _pin(x: Array) -> Array:
     return jax.lax.reduce_precision(x, e, m)
 
 
+def _guard_err(err: Array) -> Array:
+    """Pin an EFT residual to the base dtype's inf/NaN semantics.
+
+    The residual formulas compute ``inf - inf`` whenever the rounded
+    result overflows (or an operand is infinite) and ``inf * 0`` in the
+    pair cross terms, poisoning the error word — and, one
+    ``quick_two_sum`` later, the HI word — with NaN where native
+    arithmetic yields a clean ``inf``.  Dekker's splitting likewise
+    overflows for finite operands above ``max_float / (2^ceil(p/2)+1)``
+    even when the product itself is finite.  A non-finite residual
+    carries no information (the pair just degrades to base precision
+    exactly where base arithmetic saturates), so it is zeroed; a NaN
+    HI word propagates by itself.  Finite paths are bit-unchanged (the
+    select returns ``err`` as-is), and the cost is kept to ONE
+    ``is_finite`` + ONE select per pair op: guarding the folded
+    residual entering the renormalization keeps the HI word clean
+    (``quick_two_sum(s, finite)`` preserves ``s = +-inf``), while the
+    renormalization's own residual is allowed to go NaN under an
+    infinite HI word — pairs ride as ``(+-inf, NaN)`` and
+    :func:`to_float` collapses the meaningless lo word once at the
+    boundary (invariant: finite hi => finite lo)."""
+    return jnp.where(jnp.isfinite(err), err, jnp.zeros_like(err))
+
+
 def two_sum(a: Array, b: Array):
     """Error-free sum: a + b = s + err exactly (Knuth)."""
     s = _pin(a + b)
@@ -136,54 +160,78 @@ def two_prod(a: Array, b: Array):
 
 
 def add(x: DF, y: DF) -> DF:
+    """Pair sum (QD's sloppy add: two_sum + residual fold + renorm)."""
     s, e = two_sum(x.hi, y.hi)
-    e = e + (x.lo + y.lo)
+    e = _guard_err(e + (x.lo + y.lo))   # NaN residual under s = +-inf
     s, e = quick_two_sum(s, e)
     return DF(s, e)
 
 
 def neg(x: DF) -> DF:
+    """Pair negation (exact: both words flip sign)."""
     return DF(-x.hi, -x.lo)
 
 
 def sub(x: DF, y: DF) -> DF:
+    """Pair difference: ``add(x, neg(y))``."""
     return add(x, neg(y))
 
 
 def mul(x: DF, y: DF) -> DF:
+    """Pair product (two_prod + cross terms + renorm, Dekker/QD)."""
     p, e = two_prod(x.hi, y.hi)
-    e = e + (x.hi * y.lo + x.lo * y.hi)
+    # the fold hits Dekker-split overflow and inf * 0 = NaN cross terms
+    e = _guard_err(e + (x.hi * y.lo + x.lo * y.hi))
     p, e = quick_two_sum(p, e)
     return DF(p, e)
 
 
+def _finite_or_plain(out: DF, plain: Array) -> DF:
+    """Defer to the base-dtype result wherever it is non-finite (the df
+    refinement formulas turn inf/NaN into NaN via inf - inf)."""
+    ok = jnp.isfinite(plain)
+    return DF(jnp.where(ok, out.hi, plain),
+              jnp.where(ok, out.lo, jnp.zeros_like(plain)))
+
+
 def div(x: DF, y: DF) -> DF:
-    # One coarse quotient + one Newton-style correction (QD's div).
+    # One coarse quotient + two Newton-style corrections (QD's div).
     q1 = x.hi / y.hi
     r = sub(x, mul(lift(q1), y))
     q2 = r.hi / y.hi
     r = sub(r, mul(lift(q2), y))
     q3 = r.hi / y.hi
     s, e = quick_two_sum(q1, q2)
-    return add(DF(s, e), lift(q3))
+    # y == 0 / inf operands: the correction chain is NaN-poisoned
+    # (q1 = inf makes the residual inf - inf); the base quotient already
+    # carries the right inf/NaN semantics.
+    return _finite_or_plain(add(DF(s, e), lift(q3)), q1)
 
 
 def sqrt(x: DF) -> DF:
-    # Karp-Markstein: y ~ 1/sqrt(x); s = x*y; refine.
+    # Karp-Markstein: y ~ 1/sqrt(x); s = x*y; refine.  Non-finite /
+    # non-positive inputs (and the near-max edge where safe**2 rounds to
+    # inf) defer to the base sqrt's own semantics.
     s0 = jnp.sqrt(x.hi)
-    safe = jnp.where(s0 > 0, s0, 1.0)
+    ok = (s0 > 0) & jnp.isfinite(s0)
+    safe = jnp.where(ok, s0, 1.0)
     d = sub(x, mul(DF(safe, jnp.zeros_like(safe)),
                    DF(safe, jnp.zeros_like(safe))))
     corr = d.hi / (2.0 * safe)
     hi, lo = quick_two_sum(safe, corr)
-    return DF(jnp.where(s0 > 0, hi, s0), jnp.where(s0 > 0, lo, 0.0))
+    ok &= jnp.isfinite(hi)
+    return DF(jnp.where(ok, hi, s0), jnp.where(ok, lo, 0.0))
 
 
 def to_float(x: DF) -> Array:
-    """Round back to the base dtype."""
+    """Round back to the base dtype.
+
+    A non-finite hi word may carry a NaN lo (the renormalization's
+    residual under ``+-inf`` is ``inf - inf``; see :func:`_guard_err`) —
+    the hi word alone is the native-semantics value there."""
     if not jnp.issubdtype(jnp.asarray(x.hi).dtype, jnp.inexact):
         return x.hi           # bool/int words carry no error term
-    return x.hi + x.lo
+    return jnp.where(jnp.isfinite(x.hi), x.hi + x.lo, x.hi)
 
 
 # ---------------------------------------------------------------------------
@@ -210,13 +258,23 @@ def _const_df(value_fraction, dtype) -> DF:
     return DF(jnp.asarray(hi, dtype), jnp.asarray(lo, dtype))
 
 
+# The exact-rational splits are pure Python Fraction arithmetic re-run at
+# every trace of every transcendental rule (each log costs 2 exps, and
+# log1p/pow/logistic/tanh all route through exp) — cache per dtype.
+@lru_cache(maxsize=None)
+def _const_pair_cached(num: int, den: int, dtype_name: str):
+    return _const_df(_fractions.Fraction(num, den), np.dtype(dtype_name))
+
+
 def _ln2_pair(dtype) -> DF:
-    return _const_df(_LN2_FRAC, dtype)
+    return _const_pair_cached(_LN2_FRAC.numerator, _LN2_FRAC.denominator,
+                              np.dtype(dtype).name)
 
 
 def _inv_fact_table(dtype, terms):
     import math
-    return [_const_df(_fractions.Fraction(1, math.factorial(i)), dtype)
+    name = np.dtype(dtype).name
+    return [_const_pair_cached(1, math.factorial(i), name)
             for i in range(terms + 1)]
 
 
@@ -281,7 +339,11 @@ def expm1(x: DF) -> DF:
     # sub would produce inf - inf = NaN in the error term; defer to the
     # base expm1 there (round-5 review finding).
     out = sub(exp(x), lift(jnp.ones_like(x.hi)))
-    big = x.hi > 80.0
+    # dtype-aware cutoff: stay on the pair path up to just below exp's
+    # own overflow (f32 ~88, f64 ~709) instead of a fixed 80 that threw
+    # away pair accuracy on f64 pairs for x in (80, 709).
+    cut = 80.0 if jnp.asarray(x.hi).dtype == np.dtype(np.float32) else 700.0
+    big = x.hi > cut
     plain = jnp.expm1(x.hi)
     return DF(jnp.where(big, plain, out.hi),
               jnp.where(big, jnp.zeros_like(plain), out.lo))
@@ -313,7 +375,13 @@ def tanh(x: DF) -> DF:
     e2 = exp(neg(add(ax, ax)))               # e^{-2|x|} <= 1
     one = lift(jnp.ones_like(x.hi))
     t = div(sub(one, e2), add(one, e2))      # tanh(|x|)
-    sat = jnp.abs(x.hi) > 20.0
+    # saturate only where 1 - tanh ~ 2e^{-2|x|} is below PAIR precision
+    # (f32 pairs ~2^-48: |x| > 17; f64 pairs ~2^-105: |x| > 37) — the
+    # old fixed 20.0 zeroed a lo word that was still ~1e-18..1e-32 for
+    # f64 pairs in (20, 37).
+    sat_cut = (20.0 if jnp.asarray(x.hi).dtype == np.dtype(np.float32)
+               else 40.0)
+    sat = jnp.abs(x.hi) > sat_cut
     hi = jnp.where(sat, jnp.ones_like(t.hi), t.hi)
     lo = jnp.where(sat, jnp.zeros_like(t.lo), t.lo)
     sgn = jnp.sign(x.hi)
@@ -326,6 +394,9 @@ def _tree_fold(x: DF, axis: int) -> DF:
     hi = jnp.moveaxis(x.hi, axis, 0)
     lo = jnp.moveaxis(x.lo, axis, 0)
     n = hi.shape[0]
+    if n == 0:            # native reduce_sum over an empty axis is 0
+        z = jnp.zeros(hi.shape[1:], hi.dtype)
+        return DF(z, z)
     while n > 1:
         half = (n + 1) // 2
         pad = half * 2 - n
@@ -425,10 +496,9 @@ def _rule_dot_general(prim, a, b, *, dimension_numbers, **params):
         other = [d for d in range(x.hi.ndim)
                  if d not in batch and d not in contract]
         perm = list(batch) + list(contract) + other
-        return DF(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm)), \
-            len(other)
-    a2, a_free = arrange(a, lb, lc)
-    b2, b_free = arrange(b, rb, rc)
+        return DF(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
+    a2 = arrange(a, lb, lc)
+    b2 = arrange(b, rb, rc)
     nb, nc = len(lb), len(lc)
     # Shapes: a2 [B..., C..., M...], b2 [B..., C..., N...]
     a_sh, b_sh = a2.hi.shape, b2.hi.shape
@@ -471,8 +541,8 @@ _ARITH_RULES = {
     "sqrt": lambda p, a, **kw: sqrt(a),
     "abs": lambda p, a, **kw: DF(jnp.where(a.hi < 0, -a.hi, a.hi),
                                  jnp.where(a.hi < 0, -a.lo, a.lo)),
-    "max": lambda p, a, b, **kw: _df_select(_df_ge(a, b), a, b),
-    "min": lambda p, a, b, **kw: _df_select(_df_ge(a, b), b, a),
+    "max": lambda p, a, b, **kw: _df_minmax(a, b, True),
+    "min": lambda p, a, b, **kw: _df_minmax(a, b, False),
     "integer_pow": _rule_integer_pow,
     "reduce_sum": _rule_reduce_sum,
     "dot_general": _rule_dot_general,
@@ -510,6 +580,16 @@ _CALLS = {"pjit", "closed_call", "custom_jvp_call", "custom_vjp_call",
 _CMP = {"eq": jnp.equal, "ne": jnp.not_equal, "lt": jnp.less,
         "le": jnp.less_equal, "gt": jnp.greater, "ge": jnp.greater_equal}
 
+# Dtypes with an error-free-transform implementation (the Dekker split
+# constants and reduce_precision pins are defined for these).  Half
+# precisions (f16/bf16) fall back to base evaluation per-op instead of
+# KeyError-ing at trace time inside _pin/_split_const.
+_DF_DTYPES = frozenset({np.dtype(np.float32), np.dtype(np.float64)})
+
+
+def _df_supported(x) -> bool:
+    return np.dtype(jnp.asarray(x).dtype) in _DF_DTYPES
+
 
 def _df_ge(a: DF, b: DF):
     d = sub(a, b)
@@ -520,13 +600,30 @@ def _df_select(pred, a: DF, b: DF) -> DF:
     return DF(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
 
 
+def _df_minmax(a: DF, b: DF, is_max: bool) -> DF:
+    # lax.max/min propagate NaN from EITHER operand; the _df_ge select
+    # alone would silently drop a NaN operand (its comparison is False).
+    out = _df_select(_df_ge(a, b), a, b) if is_max else \
+        _df_select(_df_ge(a, b), b, a)
+    bad = jnp.isnan(a.hi) | jnp.isnan(b.hi)
+    return DF(jnp.where(bad, a.hi + b.hi, out.hi),
+              jnp.where(bad, jnp.zeros_like(out.lo), out.lo))
+
+
 def _rule_cmp(prim, a, b, **params):
     # Compare on the full df values (exact: compare the difference).
-    if not jnp.issubdtype(jnp.asarray(a.hi).dtype, jnp.inexact):
-        out = _CMP[prim.name](a.hi, b.hi)
+    if not _df_supported(a.hi):
+        out = _CMP[prim.name](to_float(a), to_float(b))
         return DF(out, jnp.zeros_like(out))
     d = sub(a, b)
-    out = _CMP[prim.name](d.hi + d.lo, jnp.zeros_like(d.hi))
+    out = _CMP[prim.name](to_float(d), jnp.zeros_like(d.hi))
+    # inf - inf (both operands the same infinity) is NaN: every df
+    # comparison would be False there — e.g. jnp.isinf lowers to
+    # eq(|x|, inf) and would always deny.  Fall back to the native hi
+    # comparison exactly where the difference is NaN but neither
+    # operand is (NaN operands keep IEEE all-False/ne-True semantics).
+    use_native = jnp.isnan(d.hi) & ~(jnp.isnan(a.hi) | jnp.isnan(b.hi))
+    out = jnp.where(use_native, _CMP[prim.name](a.hi, b.hi), out)
     return DF(out, jnp.zeros_like(out))
 
 
@@ -548,8 +645,7 @@ def _eval_jaxpr_df(jaxpr, consts, args):
         write(v, a if isinstance(a, DF) else lift(a))
 
     def all_float(vals):
-        return all(jnp.issubdtype(jnp.asarray(v.hi).dtype, jnp.inexact)
-                   for v in vals)
+        return all(_df_supported(v.hi) for v in vals)
 
     for eqn in jaxpr.eqns:
         invals = [read(v) for v in eqn.invars]
@@ -558,7 +654,7 @@ def _eval_jaxpr_df(jaxpr, consts, args):
             out = _rule_call(eqn.primitive, *invals, **eqn.params)
         elif name == "convert_element_type":
             dst = eqn.params["new_dtype"]
-            if all_float(invals) and jnp.issubdtype(dst, jnp.inexact):
+            if all_float(invals) and np.dtype(dst) in _DF_DTYPES:
                 out = DF(invals[0].hi.astype(dst), invals[0].lo.astype(dst))
             else:
                 out = _fallback(eqn.primitive, *invals, **eqn.params)

@@ -261,3 +261,64 @@ def test_df64_transcendental_saturation_guards():
         jnp.asarray([-100.0, 100.0], jnp.float32))
     got = np.asarray(t.hi, np.float64) + np.asarray(t.lo, np.float64)
     np.testing.assert_allclose(got, [-1.0, 1.0], atol=1e-14)
+
+
+def test_eft_nonfinite_matches_native():
+    """Round-5 continuation review: the CORE pair ops must carry the base
+    dtype's inf/NaN semantics instead of poisoning the hi word with NaN
+    via ``inf - inf`` in the residual formulas (previously only the
+    transcendental rules were guarded).  Also covers the Dekker-split
+    overflow: ``two_prod`` with a finite operand above
+    ``max_float / 4097`` produced a NaN residual for a product native
+    f32 computes fine."""
+    inf = np.float32(np.inf)
+    L = lambda v: df.lift(jnp.float32(v))
+    tf = lambda p: float(df.to_float(p))
+
+    assert tf(df.add(L(inf), L(1.0))) == np.inf
+    assert tf(df.sub(L(-inf), L(5.0))) == -np.inf
+    assert tf(df.mul(L(inf), L(2.0))) == np.inf
+    assert tf(df.div(L(inf), L(2.0))) == np.inf
+    assert tf(df.div(L(1.0), L(0.0))) == np.inf
+    assert tf(df.sqrt(L(inf))) == np.inf
+    # genuine indeterminate forms still propagate NaN
+    assert np.isnan(tf(df.add(L(inf), L(-inf))))
+    assert np.isnan(tf(df.div(L(inf), L(inf))))
+    assert np.isnan(tf(df.mul(L(np.float32(np.nan)), L(2.0))))
+    # Dekker-split overflow: finite product stays finite (base-precision)
+    assert abs(tf(df.mul(L(1e35), L(1e-10))) - 1e25) < 1e19
+    # overflowing sum saturates to inf like native f32
+    assert tf(df.add(L(3e38), L(3e38))) == np.inf
+
+
+def test_df64ify_nonfinite_compare_and_minmax():
+    """Comparisons against infinities (including ``jnp.isinf``, which
+    lowers to ``eq(|x|, inf)``) must match native semantics, and
+    max/min must propagate NaN like ``lax.max``/``lax.min``."""
+    x = jnp.asarray([1.0, np.inf, -np.inf], jnp.float32)
+    out = df.df64ify(lambda v: jnp.where(jnp.isinf(v), -1.0, v * 2.0))(x)
+    np.testing.assert_array_equal(np.asarray(out), [2.0, -1.0, -1.0])
+    lt = df.df64ify(lambda v: (v < 0).astype(jnp.float32))(x)
+    np.testing.assert_array_equal(np.asarray(lt), [0.0, 0.0, 1.0])
+
+    xn = jnp.asarray([np.nan, -2.0, 3.0], jnp.float32)
+    mx = np.asarray(df.df64ify(lambda v: jnp.maximum(v, 0.0))(xn))
+    assert np.isnan(mx[0]) and mx[1] == 0.0 and mx[2] == 3.0
+    mn = np.asarray(df.df64ify(lambda v: jnp.minimum(v, 0.0))(xn))
+    assert np.isnan(mn[0]) and mn[1] == -2.0 and mn[2] == 0.0
+
+
+def test_df64ify_empty_reduction_and_half_precision_fallback():
+    """``jnp.sum`` over a zero-length axis returns 0 (no trace-time
+    IndexError), and half-precision (bf16/f16) arithmetic falls back to
+    base evaluation per-op instead of KeyError-ing in the Dekker-split
+    tables."""
+    z = df.df64ify(lambda v: jnp.sum(v))(jnp.zeros((0,), jnp.float32))
+    assert float(z) == 0.0
+
+    def mixed(v):
+        y = v.astype(jnp.bfloat16) * jnp.bfloat16(2.0)
+        return jnp.sum(y.astype(jnp.float32) * v)
+
+    out = df.df64ify(mixed)(jnp.asarray([1.0, 2.0], jnp.float32))
+    assert abs(float(out) - 10.0) < 1e-5
